@@ -1,0 +1,100 @@
+"""Headline benchmark: Msplats/sec, forward+backward, 512² render.
+
+Workload mirrors the reference demo shape (BASELINE.md: yoga6, 5000 points,
+512², K=5 fragments/pixel, 8 views/batch) — a full differentiable render step:
+EWA setup → rasterize → composite → silhouette+RGB loss → gradients to point
+positions/normals/colors.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no numbers (BASELINE.md); vs_baseline is measured
+against a 1.0 Msplats/s nominal anchor (documented assumption — a reference-
+class GPU processes ~5k splats × 8 views in ~40ms ≈ 1 Msplat/s on this
+definition), so vs_baseline == value.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_POINTS = 5000
+N_VIEWS = 8
+IMAGE_SIZE = 512
+K = 5
+WARMUP = 2
+ITERS = 5
+BASELINE_MSPLATS_PER_S = 1.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dss_tpu.geometry.cameras import FoVPerspectiveCameras, look_at_view_transform
+    from dss_tpu.geometry.shapes import ico_sphere, sample_points_from_mesh
+    from dss_tpu.render.ewa import RasterSettings
+    from dss_tpu.render.renderer import render_views
+
+    verts, faces = ico_sphere(level=4, radius=0.5)
+    pts_np, normals_np = sample_points_from_mesh(verts, faces, N_POINTS)
+    pts = jnp.asarray(pts_np)
+    normals = jnp.asarray(normals_np)
+    colors = jnp.full_like(pts, 0.7)
+    mask = jnp.ones((N_POINTS,), bool)
+
+    elev = np.linspace(-30.0, 30.0, N_VIEWS)
+    azim = np.linspace(0.0, 315.0, N_VIEWS)
+    r, t = look_at_view_transform(
+        dist=jnp.full((N_VIEWS,), 2.0), elev=jnp.asarray(elev), azim=jnp.asarray(azim)
+    )
+    cams = FoVPerspectiveCameras.create(r, t, fov=60.0)
+
+    settings = RasterSettings(
+        image_size=IMAGE_SIZE,
+        points_per_pixel=K,
+        cutoff_threshold=1.0,
+        Vrk_invariant=True,
+        Vrk_isotropic=False,
+        backface_culling=True,
+    )
+
+    target_rgb = jnp.zeros((N_VIEWS, IMAGE_SIZE, IMAGE_SIZE, 3))
+    target_mask = jnp.zeros((N_VIEWS, IMAGE_SIZE, IMAGE_SIZE))
+
+    def loss_fn(points, normals, colors):
+        rgba, _, _ = render_views(
+            points, normals, colors, mask, cams, None, settings
+        )
+        return jnp.mean(jnp.abs(rgba[..., :3] - target_rgb)) + jnp.mean(
+            jnp.abs(rgba[..., 3] - target_mask)
+        )
+
+    step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2)))
+
+    # warmup / compile
+    for _ in range(WARMUP):
+        g = step(pts, normals, colors)
+    jax.block_until_ready(g)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        g = step(pts, normals, colors)
+    jax.block_until_ready(g)
+    dt = (time.perf_counter() - t0) / ITERS
+
+    msplats_per_s = N_POINTS * N_VIEWS / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "msplats_per_sec_fwd_bwd_512",
+                "value": round(msplats_per_s, 4),
+                "unit": "Msplats/s",
+                "vs_baseline": round(msplats_per_s / BASELINE_MSPLATS_PER_S, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

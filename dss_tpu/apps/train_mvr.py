@@ -1,0 +1,176 @@
+"""Multi-view inverse-rendering training CLI.
+
+Reference: /root/reference/train_mvr.py — config load, dataset, icosphere
+init cloud, per-group Adam (points/normals lr .01, colors lr 1.0, betas
+(.5,.9)), MultiStepLR, checkpoint/resume, epoch loop with view mini-batches,
+periodic chamfer eval + checkpointing, `--exit-after` time-limited runs.
+
+Usage: python train_mvr.py --config configs/dss.yml
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dss_tpu import config as config_mod
+from dss_tpu.data.dataset import ViewSampler
+from dss_tpu.data.io import save_ply
+from dss_tpu.models.point_model import PointModelParams
+from dss_tpu.training.checkpoint import CheckpointIO
+from dss_tpu.training.trainer import (
+    chamfer_distance,
+    create_train_state,
+    make_train_step,
+)
+from dss_tpu.utils.logging import MetricsLogger, get_logger
+
+logger = get_logger("train_mvr")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train DSS-TPU multi-view inverse rendering")
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--exit-after", type=int, default=-1,
+                        help="checkpoint and exit(3) after this many seconds")
+    parser.add_argument("--max-iters", type=int, default=-1)
+    parser.add_argument("--epochs", type=int, default=1000)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force a jax platform (e.g. cpu, tpu); overrides "
+                             "any site-pinned jax_platforms config")
+    args = parser.parse_args(argv)
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    t_start = time.time()
+    cfg = config_mod.load_config(args.config)
+    out_dir = os.path.join(cfg["training"]["out_dir"], cfg["name"])
+    os.makedirs(out_dir, exist_ok=True)
+    config_mod.save_config(cfg, os.path.join(out_dir, "config.yaml"))
+    mlog = MetricsLogger(out_dir)
+
+    # Data ------------------------------------------------------------------
+    dataset = config_mod.create_dataset(cfg)
+    logger.info("dataset: %d views at %s", len(dataset), dataset.resolution)
+
+    # Model -----------------------------------------------------------------
+    rng = np.random.default_rng(args.seed)
+    params, learn = config_mod.create_model_params(cfg, rng)
+    settings = config_mod.create_raster_settings(cfg)
+    tcfg = config_mod.create_train_config(cfg)
+    schedule = config_mod.create_anneal_schedule(cfg)
+    optimizer = config_mod.create_optimizer(cfg, learn)
+    state = create_train_state(params, optimizer)
+
+    # Resume ----------------------------------------------------------------
+    ckpt = CheckpointIO(out_dir)
+    resume_name = cfg["training"].get("resume_from", "model.npz")
+    epoch_it, it = 0, 0
+    metric_best = float("inf")
+    try:
+        state, scalars = ckpt.load(resume_name, state)
+        epoch_it = int(scalars.get("epoch_it", 0))
+        it = int(scalars.get("it", 0))
+        metric_best = float(scalars.get("loss_val_best", float("inf")))
+        logger.info("resumed from %s at it=%d", resume_name, it)
+    except FileNotFoundError:
+        pass
+
+    train_step = make_train_step(optimizer, settings, tcfg, schedule)
+
+    batch_size = int(cfg["training"]["batch_size"])
+    sampler = ViewSampler(len(dataset), batch_size, seed=args.seed)
+    print_every = int(cfg["training"].get("print_every", 10))
+    ckpt_every = int(cfg["training"].get("checkpoint_every", 500))
+    validate_every = int(cfg["training"].get("validate_every", 500))
+
+    gt_points, gt_normals, _ = dataset.get_pointclouds()
+
+    def evaluate(state):
+        if gt_points is None:
+            return {}
+        cd, cn = chamfer_distance(
+            jnp.asarray(gt_points),
+            state.params.points,
+            None if gt_normals is None else jnp.asarray(gt_normals),
+            state.params.normals,
+            y_mask=state.filters.activation,
+        )
+        out = {"chamfer_point": float(cd)}
+        if cn is not None:
+            out["chamfer_normal"] = float(cn)
+        return out
+
+    # Train loop -------------------------------------------------------------
+    t_iter = time.time()
+    stop = False
+    for epoch in range(epoch_it, args.epochs):
+        if stop:
+            break
+        for batch_idx in sampler.epoch():
+            img, mask_img, cameras, lights = dataset.get_batch(batch_idx)
+            state, metrics = train_step(
+                state, cameras, lights, jnp.asarray(img), jnp.asarray(mask_img)
+            )
+            it += 1
+
+            if it % print_every == 0:
+                dt = (time.time() - t_iter) / print_every
+                t_iter = time.time()
+                scalars = {
+                    k: float(v) for k, v in metrics.items() if jnp.ndim(v) == 0
+                }
+                mlog.log(it, {**scalars, "sec_per_iter": dt})
+                logger.info(
+                    "epoch %d it %d loss %.5f (%.3fs/it)",
+                    epoch, it, scalars.get("loss", float("nan")), dt,
+                )
+
+            if validate_every > 0 and it % validate_every == 0:
+                eval_dict = evaluate(state)
+                if eval_dict:
+                    mlog.log(it, {("val/" + k): v for k, v in eval_dict.items()})
+                    logger.info("eval %s", eval_dict)
+                    metric = eval_dict.get("chamfer_point", float("inf"))
+                    if metric < metric_best:
+                        metric_best = metric
+                        ckpt.save("model_best.npz", state, epoch_it=epoch, it=it,
+                                  loss_val_best=metric_best)
+
+            if ckpt_every > 0 and it % ckpt_every == 0:
+                ckpt.save(resume_name, state, epoch_it=epoch, it=it,
+                          loss_val_best=metric_best)
+
+            if args.exit_after > 0 and time.time() - t_start > args.exit_after:
+                logger.info("exit-after reached; checkpointing and exiting(3)")
+                ckpt.save(resume_name, state, epoch_it=epoch, it=it,
+                          loss_val_best=metric_best)
+                raise SystemExit(3)
+
+            if args.max_iters > 0 and it >= args.max_iters:
+                stop = True
+                break
+
+    # Final artifacts ---------------------------------------------------------
+    ckpt.save(resume_name, state, epoch_it=args.epochs, it=it,
+              loss_val_best=metric_best)
+    active = np.asarray(state.filters.activation)
+    save_ply(
+        os.path.join(out_dir, cfg["training"].get("point_file", "shape_pts.ply")),
+        np.asarray(state.params.points)[active],
+        normals=np.asarray(state.params.normals)[active],
+    )
+    logger.info("done: %d iters, best chamfer %.6f", it, metric_best)
+    return state
+
+
+if __name__ == "__main__":
+    main()

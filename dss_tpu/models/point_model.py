@@ -1,0 +1,185 @@
+"""Point model: the learnable parameters ARE the point cloud.
+
+Reference: DSS/models/point_modeling.py `Model` (33-246) — nn.Parameters
+(points, normals, colors) with per-group learnability, a texture (shading)
+module, and the renderer; forward renders the camera batch, reduces the
+visibility filter across views, and computes the `inmask` filter by sampling
+the GT mask at the projected point locations (194-212).
+
+Here the model is a pytree of parameters + pure functions; "buffers" (the
+activation/visibility/inmask filters) travel in a separate state pytree so
+`jax.grad` sees only the learnables.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from dss_tpu.geometry.cameras import FoVPerspectiveCameras
+from dss_tpu.geometry.pointclouds import PointFilters
+from dss_tpu.render.ewa import RasterSettings
+from dss_tpu.render.lighting import Lights
+from dss_tpu.render.renderer import render_views
+from dss_tpu.utils.mathutil import normalize
+
+
+@struct.dataclass
+class PointModelParams:
+    """Learnable state (reference point_modeling.py:47-52)."""
+
+    points: jnp.ndarray  # (P, 3)
+    normals: jnp.ndarray  # (P, 3)
+    colors: jnp.ndarray  # (P, 3)
+
+    @classmethod
+    def create(cls, points, normals=None, colors=None):
+        points = jnp.asarray(points, jnp.float32)
+        if normals is None:
+            normals = jnp.zeros_like(points)
+        if colors is None:
+            colors = jnp.ones_like(points)
+        return cls(
+            points=points,
+            normals=jnp.asarray(normals, jnp.float32),
+            colors=jnp.asarray(colors, jnp.float32),
+        )
+
+
+def sample_image_at_ndc(
+    images: jnp.ndarray, p_ndc: jnp.ndarray
+) -> jnp.ndarray:
+    """Bilinear lookup of (V, H, W) images at (V, P, 2) NDC xy (grid_sample
+    align_corners=False semantics; borders clamped — the reference uses
+    reflection padding, identical inside [-1, 1] after its clamp,
+    DSS/utils/__init__.py:266-317)."""
+    v, h, w = images.shape
+    x = (p_ndc[..., 0] + 1.0) * (w / 2.0) - 0.5
+    y = (p_ndc[..., 1] + 1.0) * (h / 2.0) - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+
+    def at(yy, xx):
+        yy = jnp.clip(yy.astype(jnp.int32), 0, h - 1)
+        xx = jnp.clip(xx.astype(jnp.int32), 0, w - 1)
+        return jax.vmap(lambda img, a, b: img[a, b])(images, yy, xx)
+
+    v00 = at(y0, x0)
+    v01 = at(y0, x0 + 1)
+    v10 = at(y0 + 1, x0)
+    v11 = at(y0 + 1, x0 + 1)
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+def point_model_forward(
+    params: PointModelParams,
+    filters: PointFilters,
+    cameras: FoVPerspectiveCameras,
+    lights: Optional[Lights],
+    settings: RasterSettings,
+    mask_img: Optional[jnp.ndarray] = None,
+    vrk_h: Optional[jnp.ndarray] = None,
+    **render_kwargs,
+) -> Tuple[Dict[str, jnp.ndarray], PointFilters]:
+    """Render the camera batch and update the point filters.
+
+    Mirrors Model.forward (point_modeling.py:135-214): render all V views with
+    the activation filter applied; visibility := any view rendered the point;
+    inmask := point projects inside the GT mask in any view AND is visible.
+
+    Returns ({img_pred (V,S,S,3), mask_img_pred (V,S,S)}, new_filters).
+    """
+    normals = normalize(params.normals)
+    active = filters.activation
+
+    rgba, _, visible = render_views(
+        params.points,
+        normals,
+        params.colors,
+        active,
+        cameras,
+        lights,
+        settings,
+        vrk_h=vrk_h,
+        **render_kwargs,
+    )
+    visibility = jnp.any(visible, axis=0) & active
+
+    img_pred = rgba[..., :3]
+    mask_pred = rgba[..., 3]
+
+    if mask_img is not None:
+        p_screen = cameras.transform_points_screen(params.points)  # (V, P, 3)
+        # NDC xy sign flip: image array +x right/+y down vs NDC +x left/+y up
+        # (reference point_modeling.py:199-201).
+        p = jnp.clip(-p_screen[..., :2], -1.0, 1.0)
+        sampled = sample_image_at_ndc(mask_img.astype(jnp.float32), p)  # (V, P)
+        inmask = jnp.any(sampled > 0.5, axis=0) & visibility
+    else:
+        inmask = filters.inmask
+
+    new_filters = PointFilters(
+        activation=active,
+        visibility=jax.lax.stop_gradient(visibility),
+        inmask=jax.lax.stop_gradient(inmask),
+    )
+    return {"img_pred": img_pred, "mask_img_pred": mask_pred}, new_filters
+
+
+def render_model(
+    params: PointModelParams,
+    filters: PointFilters,
+    cameras: FoVPerspectiveCameras,
+    lights: Optional[Lights],
+    settings: RasterSettings,
+    **render_kwargs,
+) -> jnp.ndarray:
+    """Eval-time render → RGBA (V, S, S, 4) (reference Model.render,
+    point_modeling.py:216-236)."""
+    rgba, _, _ = render_views(
+        params.points,
+        normalize(params.normals),
+        params.colors,
+        filters.activation,
+        cameras,
+        lights,
+        settings,
+        **render_kwargs,
+    )
+    return rgba
+
+
+def prune_dead_points(
+    params: PointModelParams,
+    filters: PointFilters,
+    cameras: FoVPerspectiveCameras,
+    settings: RasterSettings,
+    mask_gt: jnp.ndarray,
+) -> jnp.ndarray:
+    """Active-point detection via silhouette-gradient support (reference
+    Model.prune_points, point_modeling.py:114-133): a point is dead if the
+    silhouette loss gradient w.r.t. it is exactly zero."""
+
+    def loss_fn(points):
+        rgba, _, _ = render_views(
+            points,
+            normalize(params.normals),
+            params.colors,
+            filters.activation,
+            cameras,
+            None,
+            settings,
+        )
+        return jnp.mean(jnp.abs(rgba[..., 3] - mask_gt))
+
+    grad = jax.grad(loss_fn)(params.points)
+    return ~jnp.all(grad == 0.0, axis=-1)

@@ -1,0 +1,71 @@
+"""Multi-chip scale-out: shard the view batch over a device mesh.
+
+The reference is single-GPU (SURVEY.md §1: no distributed layer); the natural
+TPU parallelization of its workload (V independent camera views over one
+shared point cloud, DSS/models/point_modeling.py:206-209) is data parallelism
+over views:
+
+  - mesh axis "views": cameras/lights/images/masks sharded on their leading
+    (view) axis; the point cloud parameters are tiny (100k × 3 floats ≈ 1.2 MB)
+    and are replicated.
+  - loss/grad reductions over views become XLA psum/all-reduce over ICI —
+    inserted automatically by GSPMD from the sharding annotations; no
+    hand-written collectives.
+  - per-point kNN / regularizer losses run replicated (cheap relative to
+    rasterization), so no halo exchange is needed.
+
+An optional second axis "pixels" shards the image rows of each view for
+single-view scaling (render_single_view's row-chunk structure maps onto it).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "views") -> Mesh:
+    """1-D device mesh over the first n devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def shard_views(tree, mesh: Mesh, axis: str = "views"):
+    """Place every leaf with a leading view axis on the mesh, sharded on that
+    axis; scalars/replicated leaves broadcast."""
+
+    def put(x):
+        x = jnp.asarray(x)
+        if x.ndim >= 1 and x.shape[0] % mesh.shape[axis] == 0:
+            return jax.device_put(x, NamedSharding(mesh, P(axis)))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(jnp.asarray(x), NamedSharding(mesh, P())), tree
+    )
+
+
+def make_sharded_train_step(train_step, mesh: Mesh, axis: str = "views"):
+    """Wrap a jitted train step so the view batch is sharded over the mesh and
+    the state stays replicated.  GSPMD propagates shardings through the render
+    vmap (views axis) and inserts the gradient all-reduce over ICI."""
+
+    def step(state, cameras, lights, img, mask_img):
+        state = replicate(state, mesh)
+        cameras = shard_views(cameras, mesh, axis)
+        img = jax.device_put(img, NamedSharding(mesh, P(axis)))
+        mask_img = jax.device_put(mask_img, NamedSharding(mesh, P(axis)))
+        if lights is not None:
+            lights = shard_views(lights, mesh, axis)
+        return train_step(state, cameras, lights, img, mask_img)
+
+    return step

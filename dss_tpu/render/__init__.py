@@ -1,0 +1,21 @@
+from dss_tpu.render.ewa import RasterSettings, SplatInfo, prepare_splats
+from dss_tpu.render.rasterizer import Fragments, rasterize_points, clip_grad_norm
+from dss_tpu.render.compositor import weighted_sum, norm_weighted_sum
+from dss_tpu.render.lighting import DirectionalLights, PointLights, shade_points
+from dss_tpu.render.renderer import render_single_view, render_views
+
+__all__ = [
+    "RasterSettings",
+    "SplatInfo",
+    "prepare_splats",
+    "Fragments",
+    "rasterize_points",
+    "clip_grad_norm",
+    "weighted_sum",
+    "norm_weighted_sum",
+    "DirectionalLights",
+    "PointLights",
+    "shade_points",
+    "render_single_view",
+    "render_views",
+]

@@ -1,0 +1,270 @@
+"""Screen-space EWA (elliptical weighted average) splat setup.
+
+Per-point preparation for the elliptical splat rasterizer: the projected
+Gaussian covariance GV = Jᵀ W Vrk Wᵀ J + σ_aa (2/S)² I, its inverse's conic
+coefficients (a, b, c) of Q(d) = a·dx² + b·dx·dy + c·dy², the axis-aligned
+NDC bounding radii from the cutoff, and the Gaussian normalization scaler
+|det Mk| / √(4π² det GV).
+
+Reference semantics: DSS/core/rasterizer.py
+  - `_compute_WJk`                  (443-496)
+  - `_compute_isotropic_Vrk`        (344-402)
+  - `_compute_global_Vrk`           (293-342)
+  - `_compute_anisotropic_Vrk`      (256-291)
+  - `_compute_variance_and_detMk`   (404-441)
+  - `_get_ellipse_axis_aligned_radius` (498-523)
+  - `_get_per_point_info`           (525-565)
+
+Differences by design (TPU-first):
+  - All dynamic point filtering (depth cull, backface cull,
+    rasterizer.py:148-254) is expressed as boolean masks over a fixed-capacity
+    point array — shapes stay static under jit.
+  - The random tangent frame (rasterizer.py:337-341) is replaced by a
+    deterministic branch-free construction; only Skᵀ Sk = I − n nᵀ and
+    |det(Sk·M)| are consumed, so the frame choice is mathematically
+    irrelevant (see dss_tpu.utils.mathutil.tangent_frame).
+  - Everything is computed for one camera and vmapped over the view batch.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from dss_tpu.geometry.cameras import FoVPerspectiveCameras
+from dss_tpu.geometry.knn import knn_points
+from dss_tpu.geometry.normals import estimate_local_coord_frames
+from dss_tpu.utils.mathutil import (
+    det2x2,
+    eps_denom,
+    eps_sqrt,
+    inv2x2,
+    tangent_frame,
+    to_homogen,
+)
+
+
+@struct.dataclass
+class RasterSettings:
+    """Rasterization knob set (reference PointsRasterizationSettings,
+    DSS/core/rasterizer.py:39-99).  Static fields (shapes/sizes) are python
+    ints so they stay jit-static; annealed scalars are traced arrays."""
+
+    image_size: int = struct.field(pytree_node=False, default=256)
+    points_per_pixel: int = struct.field(pytree_node=False, default=5)
+    cutoff_threshold: float = 1.0
+    depth_merging_threshold: float = 0.05
+    antialiasing_sigma: float = 1.0
+    # Occupancy-gradient support radius multiplier (annealed during training —
+    # traced, so retuning it never recompiles).
+    radii_backward_scaler: float = 10.0
+    Vrk_invariant: bool = struct.field(pytree_node=False, default=False)
+    Vrk_isotropic: bool = struct.field(pytree_node=False, default=True)
+    backface_culling: bool = struct.field(pytree_node=False, default=True)
+    clip_pts_grad: float = struct.field(pytree_node=False, default=-1.0)
+    frnn_radius: float = struct.field(pytree_node=False, default=-1.0)
+
+
+@struct.dataclass
+class SplatInfo:
+    """Per-splat screen-space data consumed by the rasterizer (all (P, ·))."""
+
+    pts_screen: jnp.ndarray  # (P, 3) ndc x, y, view z
+    ellipse_params: jnp.ndarray  # (P, 3) conic (a, b, c)
+    cutoff: jnp.ndarray  # (P,) Q cutoff; -inf disables a splat
+    radii: jnp.ndarray  # (P, 2) axis-aligned NDC half-extents
+    scaler: jnp.ndarray  # (P,) EWA normalization
+    mask: jnp.ndarray  # (P,) bool: renderable after culling
+
+
+def compute_vrk_h_isotropic(
+    points: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    clamp_lo: float = 5e-5,
+    clamp_hi: float = 0.01,
+) -> jnp.ndarray:
+    """Per-point isotropic kernel size h_k = clamp(0.5·max of 6-NN sq dists).
+
+    Reference `_compute_isotropic_Vrk` (rasterizer.py:344-402): K=7 self-query
+    (self + 6 neighbors), drop the self column, h = 0.5 * max.
+    Returns (P,) h_k.  World-space quantity: camera independent.
+    """
+    sq, _ = knn_points(points, points, mask, mask, k=7)
+    sq = jnp.where(jnp.isfinite(sq), sq, 0.0)
+    h = 0.5 * jnp.max(sq[:, 1:], axis=-1)
+    return jnp.clip(h, clamp_lo, clamp_hi)
+
+
+def compute_vrk_h_global(
+    points: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    clamp_lo: float = 5e-5,
+    clamp_hi: float = 1e-3,
+) -> jnp.ndarray:
+    """Scale-invariant global kernel size: mean over the cloud of the per-point
+    h_k, clamped (reference `_compute_global_Vrk`, rasterizer.py:293-342).
+    Returns a scalar ()."""
+    if mask is None:
+        mask = jnp.ones(points.shape[:1], bool)
+    sq, _ = knn_points(points, points, mask, mask, k=7)
+    sq = jnp.where(jnp.isfinite(sq), sq, 0.0)
+    h = 0.5 * jnp.max(sq[:, 1:], axis=-1)
+    w = mask.astype(points.dtype)
+    h_mean = jnp.sum(h * w) / eps_denom(jnp.sum(w))
+    return jnp.clip(h_mean, clamp_lo, clamp_hi)
+
+
+def compute_vrk(
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    settings: RasterSettings,
+    vrk_h: Optional[jnp.ndarray] = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """World-space splat covariance Vrk (P, 3, 3) and tangent frame Sk (P, 2, 3).
+
+    `vrk_h` lets the caller cache/thread the kernel size (the reference caches
+    `self._Vrk_h`, rasterizer.py:359-388) so it isn't recomputed per view.
+    """
+    if settings.Vrk_invariant:
+        sk = tangent_frame(normals)
+        if vrk_h is None:
+            vrk_h = compute_vrk_h_global(points, mask)
+        vrk = jnp.broadcast_to(vrk_h, points.shape[:1])[:, None, None] * jnp.einsum(
+            "pia,pib->pab", sk, sk
+        )
+    elif settings.Vrk_isotropic:
+        sk = tangent_frame(normals)
+        if vrk_h is None:
+            vrk_h = compute_vrk_h_isotropic(points, mask)
+        vrk = vrk_h[:, None, None] * jnp.einsum("pia,pib->pab", sk, sk)
+    else:
+        # Anisotropic: local PCA frame, the two tangent eigenvalues set the
+        # splat's principal extents (reference rasterizer.py:256-291).
+        curv, frames = estimate_local_coord_frames(points, mask, neighborhood_size=8)
+        tangents = frames[:, :, 1:]  # (P, 3, 2) columns = tangent dirs
+        vrk = jnp.einsum("pik,pk,pjk->pij", tangents, curv[:, 1:], tangents)
+        sk = jnp.swapaxes(tangents, 1, 2)  # (P, 2, 3)
+    return vrk, sk
+
+
+def compute_wjk(
+    points: jnp.ndarray, camera: FoVPerspectiveCameras
+) -> jnp.ndarray:
+    """Jacobian Mk = W @ Jk (P, 3, 2) of the full world→NDC projection at each
+    point (reference `_compute_WJk`, rasterizer.py:443-496).
+
+    Row-vector convention: ndc_xy(p) = (hom(p) @ M)[:2] / (hom(p) @ M)[:,3].
+    Jk[0,0] = Jk[1,1] = 1/t, Jk[3,:] = -xy_view/t², t = hom(p)·M[:,3].
+    """
+    m44 = camera.full_projection_matrix()
+    if m44.ndim == 3:
+        m44 = m44[0]
+    hom = to_homogen(points)  # (P, 4)
+    t = hom @ m44[:, 3]  # (P,)
+    xy_view = hom @ m44[:, :2]  # (P, 2)
+    inv_t = 1.0 / eps_denom(t)
+    inv_t2 = 1.0 / eps_denom(t * t)
+    p = points.shape[0]
+    jk = jnp.zeros((p, 4, 2), points.dtype)
+    jk = jk.at[:, 0, 0].set(inv_t)
+    jk = jk.at[:, 1, 1].set(inv_t)
+    jk = jk.at[:, 3, 0].set(-xy_view[:, 0] * inv_t2)
+    jk = jk.at[:, 3, 1].set(-xy_view[:, 1] * inv_t2)
+    w = m44[:3, :]  # (3, 4) rows x,y,z of the world->clip map
+    return jnp.einsum("ij,pjk->pik", w, jk)  # (P, 3, 2)
+
+
+def ellipse_axis_aligned_radius(
+    cutoff: jnp.ndarray, ellipse_params: jnp.ndarray
+) -> jnp.ndarray:
+    """Axis-aligned NDC half-extents of {d: Q(d) <= cutoff}
+    (reference rasterizer.py:498-523): x = √(4c·C/(4ac−b²)), y = √(4a·C/…)."""
+    a = ellipse_params[..., 0]
+    b = ellipse_params[..., 1]
+    c = ellipse_params[..., 2]
+    denom = eps_denom(4.0 * a * c - b * b)
+    x = jnp.sqrt(eps_sqrt(4.0 * c * cutoff / denom))
+    y = jnp.sqrt(eps_sqrt(4.0 * a * cutoff / denom))
+    return jnp.stack([x, y], axis=-1)
+
+
+def backface_mask(
+    normals: jnp.ndarray, camera: FoVPerspectiveCameras
+) -> jnp.ndarray:
+    """(P,) True for camera-facing points: view-space normal z < 0
+    (reference `_filter_backface_points`, rasterizer.py:148-181)."""
+    r = camera.R[0] if camera.R.ndim == 3 else camera.R
+    nz = normals @ r[:, 2]
+    return nz < 0.0
+
+
+def prepare_splats(
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    mask: jnp.ndarray,
+    camera: FoVPerspectiveCameras,
+    settings: RasterSettings,
+    vrk_h: Optional[jnp.ndarray] = None,
+) -> SplatInfo:
+    """Full per-point rasterization setup for ONE camera.
+
+    Mirrors `SurfaceSplatting.forward` steps 1-3 (rasterizer.py:584-633):
+    cull (depth range, backface) as mask updates, project to NDC, compute
+    detached EWA quantities.  vmap over cameras for a view batch.
+
+    The EWA quantities are wrapped in stop_gradient to match the reference,
+    which detaches radii/ellipse_params/cutoff/scaler (rasterizer.py:562-565);
+    position gradients flow only through `pts_screen`.
+    """
+    pts_view = camera.transform_points_world_to_view(points)[0]
+    depth_ok = (pts_view[:, 2] >= camera.znear[0]) & (pts_view[:, 2] <= camera.zfar[0])
+    render_mask = mask & depth_ok
+    if settings.backface_culling:
+        render_mask = render_mask & backface_mask(normals, camera)
+
+    pts_screen = camera.transform_points_screen(points)[0]  # (P, 3)
+
+    def _detached():
+        mk = compute_wjk(points, camera)  # (P, 3, 2)
+        vrk, sk = compute_vrk(points, normals, mask, settings, vrk_h)
+        # GV = Mkᵀ Vrk Mk + σ_aa (2/S)² I  (rasterizer.py:428-437)
+        gv = jnp.einsum("pia,pij,pjb->pab", mk, vrk, mk)
+        pixel_size = 2.0 / settings.image_size
+        gv = gv + (settings.antialiasing_sigma * pixel_size**2) * jnp.eye(2)
+        det_mk = det2x2(jnp.einsum("pai,pib->pab", sk, mk))  # det(Sk @ Mk)
+        gv_inv = inv2x2(gv)
+        ellipse = jnp.stack(
+            [
+                gv_inv[:, 0, 0],
+                gv_inv[:, 0, 1] + gv_inv[:, 1, 0],
+                gv_inv[:, 1, 1],
+            ],
+            axis=-1,
+        )
+        cutoff = jnp.full(points.shape[:1], settings.cutoff_threshold, points.dtype)
+        radii = ellipse_axis_aligned_radius(cutoff, ellipse)
+        # scaler = |det Mk| / √(4π² det GV)  (rasterizer.py:557-559)
+        scaler = jnp.abs(det_mk) / eps_denom(
+            jnp.sqrt(eps_sqrt(det2x2(gv) * 4.0 * math.pi**2))
+        )
+        return ellipse, cutoff, radii, scaler
+
+    ellipse, cutoff, radii, scaler = jax.tree_util.tree_map(
+        jax.lax.stop_gradient, _detached()
+    )
+    # Culled points: zero radii + -inf cutoff → never rasterized, jit-static.
+    neg_inf = jnp.float32(-jnp.inf)
+    cutoff = jnp.where(render_mask, cutoff, neg_inf)
+    radii = radii * render_mask[:, None]
+    return SplatInfo(
+        pts_screen=pts_screen,
+        ellipse_params=ellipse,
+        cutoff=cutoff,
+        radii=radii,
+        scaler=scaler,
+        mask=render_mask,
+    )

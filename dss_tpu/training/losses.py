@@ -1,0 +1,250 @@
+"""Image losses and surface regularizers.
+
+Reference: DSS/training/losses.py — SmapeLoss (116-127), L1/L2 (130-146),
+IouLoss (498-513), SurfaceLoss machinery (148-276), ProjectionLoss (282-391,
+feature-preserving MLS after Öztireli et al.), RepulsionLoss (394-495).
+
+All functions are unbatched over clouds (single (P, ·) cloud + validity mask,
+matching the training workload of one shared cloud) and fully jit/vmap-able;
+reductions respect the mask.  kNN comes from dss_tpu.geometry.knn instead of
+pytorch3d knn_points / FRNN.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dss_tpu.geometry.knn import knn_points, masked_gather
+from dss_tpu.utils.mathutil import eps_denom, normalize
+
+# ---------------------------------------------------------------------------
+# Image losses
+# ---------------------------------------------------------------------------
+
+
+def masked_mean(x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    if mask is None:
+        return jnp.mean(x)
+    m = jnp.broadcast_to(mask, x.shape).astype(x.dtype)
+    return jnp.sum(x * m) / eps_denom(jnp.sum(m))
+
+
+def l1_loss(x, y, mask=None, weights=None):
+    """Reference L1Loss (losses.py:130-137)."""
+    d = jnp.abs(x - y)
+    if weights is not None:
+        d = d * weights
+    return masked_mean(d, mask)
+
+
+def l2_loss(x, y, mask=None, weights=None):
+    d = (x - y) ** 2
+    if weights is not None:
+        d = d * weights
+    return masked_mean(d, mask)
+
+
+def smape_loss(x, y, mask=None, eps: float = 1e-8):
+    """Relative L1 (losses.py:116-127)."""
+    d = jnp.abs(x - y) / (jnp.abs(x) + jnp.abs(y) + eps)
+    return masked_mean(d, mask)
+
+
+def iou_loss(predict: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """1 − intersection/union over all non-batch dims, meaned over batch
+    (losses.py:498-513)."""
+    if predict.ndim == target.ndim == 2:
+        predict, target = predict[None], target[None]
+    dims = tuple(range(1, predict.ndim))
+    inter = jnp.sum(predict * target, axis=dims)
+    union = jnp.sum(predict + target - predict * target, axis=dims)
+    return jnp.mean(1.0 - inter / eps_denom(union))
+
+
+# ---------------------------------------------------------------------------
+# Surface regularizers (projection & repulsion)
+# ---------------------------------------------------------------------------
+
+
+class KnnCache(NamedTuple):
+    """Neighbor structure shared by the surface losses (reference
+    SurfaceLoss._build_knn, losses.py:157-180: knn_k total with the self
+    column dropped)."""
+
+    dists: jnp.ndarray  # (P, K) squared dists, inf for invalid
+    idx: jnp.ndarray  # (P, K) int32, -1 for invalid
+    nn: jnp.ndarray  # (P, K, 3) neighbor positions (0 fill)
+    valid: jnp.ndarray  # (P, K) bool
+
+
+def build_knn(
+    points: jnp.ndarray, mask: Optional[jnp.ndarray], knn_k: int = 12
+) -> KnnCache:
+    k = knn_k - 1  # reference drops the self column
+    dists, idx = knn_points(points, points, mask, mask, k=k, exclude_self=True)
+    nn = masked_gather(points, idx)
+    valid = idx >= 0
+    dists = jnp.where(valid, dists, 0.0)
+    return KnnCache(dists=dists, idx=idx, nn=nn, valid=valid)
+
+
+def get_phi(knn: KnnCache, filter_scale: float = 2.0) -> jnp.ndarray:
+    """Compact spatial kernel (1 − d²/h)₊⁴ with h = 4·mean local sq-spacing
+    (losses.py:261-276)."""
+    valid_f = knn.valid.astype(knn.dists.dtype)
+    mean_sq = jnp.sum(knn.dists * valid_f, axis=-1, keepdims=True) / eps_denom(
+        jnp.sum(valid_f, axis=-1, keepdims=True)
+    )
+    h = mean_sq * 4.0
+    w = jnp.maximum(1.0 - knn.dists / eps_denom(h), 0.0)
+    w = w * w
+    w = w * w
+    return w * valid_f
+
+
+def denoise_normals(
+    normals: jnp.ndarray,
+    knn: KnnCache,
+    weights: jnp.ndarray,
+    reliable: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Robust normal mollification: weighted neighbor average, keeping the
+    original normal where `reliable` (visibility ∧ inmask) is True
+    (losses.py:182-220)."""
+    knn_normals = masked_gather(normals, knn.idx)
+    denom = eps_denom(jnp.sum(weights, axis=-1, keepdims=True))
+    averaged = jnp.sum(knn_normals * weights[..., None], axis=-2) / denom
+    if reliable is not None:
+        averaged = jnp.where(reliable[:, None], normals, averaged)
+    return averaged
+
+
+def get_normal_w(
+    normals: jnp.ndarray, knn: KnnCache, sharpness_sigma: float = 0.75
+) -> jnp.ndarray:
+    """exp(−‖n̂−n̂ᵢ‖²/σ²) (losses.py:222-245)."""
+    inv_sigma = 1.0 / (sharpness_sigma * sharpness_sigma)
+    n = normalize(normals)
+    nn = normalize(masked_gather(normals, knn.idx))
+    diff = nn - n[:, None, :]
+    w = jnp.exp(-jnp.sum(diff * diff, axis=-1) * inv_sigma)
+    return w * knn.valid
+
+
+def projection_loss(
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    mask: jnp.ndarray,
+    visibility: Optional[jnp.ndarray] = None,
+    reliable: Optional[jnp.ndarray] = None,
+    knn: Optional[KnnCache] = None,
+    knn_k: int = 12,
+    filter_scale: float = 2.0,
+    sharpness_sigma: float = 0.75,
+) -> jnp.ndarray:
+    """Surface-attraction regularizer (losses.py:282-391): weighted squared
+    distance of each point to its neighbors' local planes.
+
+    weights = phi · normal_w · visibility_w, where invisible neighbors are
+    down-weighted to 0.1 (losses.py:338-342); spatial_w is overridden to ones
+    (losses.py:292-298).  Returns the masked mean (reduction='mean').
+    """
+    if knn is None:
+        knn = build_knn(points, mask, knn_k)
+    knn_w = jax.lax.stop_gradient  # weight block is under no_grad in reference
+
+    phi = knn_w(get_phi(knn, filter_scale))
+    n_denoised = knn_w(denoise_normals(normals, knn, phi, reliable))
+    normal_w = knn_w(get_normal_w(n_denoised, knn, sharpness_sigma))
+    if visibility is None:
+        vis_w = jnp.ones_like(phi)
+    else:
+        vis_nb = masked_gather(visibility.astype(points.dtype)[:, None], knn.idx)[..., 0]
+        vis_w = jnp.where(vis_nb > 0.5, 1.0, 0.1)
+    weights = knn_w(phi * normal_w * vis_w * knn.valid)
+
+    knn_normals = masked_gather(n_denoised, knn.idx)
+    # sdf_i = nᵢ·(xᵢ − x): neighbor positions detached (losses.py:372-375)
+    sdf = jnp.sum(
+        (jax.lax.stop_gradient(knn.nn) - points[:, None, :]) * knn_normals, axis=-1
+    )
+    per_point = jnp.sum(weights * sdf * sdf, axis=-1) / eps_denom(
+        jnp.sum(weights, axis=-1)
+    )
+    return masked_mean(per_point, mask)
+
+
+def repulsion_loss(
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    mask: jnp.ndarray,
+    reliable: Optional[jnp.ndarray] = None,
+    knn: Optional[KnnCache] = None,
+    knn_k: int = 12,
+    filter_scale: float = 2.0,
+    sharpness_sigma: float = 0.75,
+) -> jnp.ndarray:
+    """Uniform-spread regularizer (losses.py:394-495): project neighbor
+    offsets onto the tangent plane; loss = exp(−|repel_vec|), minimized when
+    the density-weighted mean tangential offset is large."""
+    if knn is None:
+        knn = build_knn(points, mask, knn_k)
+    sg = jax.lax.stop_gradient
+
+    phi = sg(get_phi(knn, filter_scale))
+    n_denoised = sg(denoise_normals(normals, knn, phi, reliable))
+
+    knn_diff = points[:, None, :] - sg(knn.nn)
+    knn_normals = masked_gather(n_denoised, knn.idx)
+    proj = knn_diff - jnp.sum(knn_diff * knn_normals, axis=-1, keepdims=True) * knn_normals
+
+    # spatial_w = exp(−d²·N/diag²·filter_scale) (losses.py:247-259)
+    valid_pts = jnp.where(mask[:, None], points, jnp.nan)
+    lo = jnp.nanmin(valid_pts, axis=0)
+    hi = jnp.nanmax(valid_pts, axis=0)
+    diag2 = eps_denom(jnp.sum((hi - lo) ** 2))
+    n_valid = jnp.sum(mask.astype(points.dtype))
+    inv_sigma_spatial = n_valid / diag2
+    spatial_w = sg(
+        jnp.exp(-knn.dists * inv_sigma_spatial * filter_scale) * knn.valid
+    )
+    normal_w = sg(get_normal_w(n_denoised, knn, sharpness_sigma))
+    density_w = sg(jnp.sum(spatial_w, axis=-1, keepdims=True) + 1.0)
+    weights = sg(spatial_w * normal_w)
+
+    repel_vec = jnp.sum(proj * weights[..., None], axis=1) / eps_denom(
+        jnp.sum(weights, axis=1, keepdims=True)
+    )
+    repel_vec = repel_vec * density_w
+    per_point = jnp.exp(-jnp.abs(repel_vec))  # (P, 3)
+    return masked_mean(per_point, mask[:, None])
+
+
+# ---------------------------------------------------------------------------
+# Combined training objective (reference Trainer.calc_dr_loss /
+# calc_pcl_reg_loss, trainer.py:275-376)
+# ---------------------------------------------------------------------------
+
+
+def dr_loss(
+    img: jnp.ndarray,
+    img_pred: jnp.ndarray,
+    mask_img: jnp.ndarray,
+    mask_img_pred: jnp.ndarray,
+    lambda_rgb: float = 1.0,
+    lambda_silhouette: float = 1.0,
+):
+    """Image losses: L1 RGB restricted to gt∧pred silhouette intersection +
+    silhouette (0.01·IoU + L1 mask) (trainer.py:332-376).
+
+    Returns (total, dict of parts)."""
+    inter = (mask_img > 0.5) & (mask_img_pred > 0.5)
+    loss_rgb = l1_loss(img, img_pred, mask=inter[..., None]) * lambda_rgb
+    loss_sil = (
+        0.01 * iou_loss(mask_img.astype(img.dtype), mask_img_pred)
+        + jnp.mean(jnp.abs(mask_img.astype(img.dtype) - mask_img_pred))
+    ) * lambda_silhouette
+    total = loss_rgb + loss_sil
+    return total, {"loss_dr_rgb": loss_rgb, "loss_dr_silhouette": loss_sil}

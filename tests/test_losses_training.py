@@ -1,0 +1,205 @@
+"""Tests for image losses, surface regularizers, and the jitted train step."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dss_tpu.geometry.cameras import FoVPerspectiveCameras, look_at_view_transform
+from dss_tpu.geometry.pointclouds import PointFilters
+from dss_tpu.models.point_model import (
+    PointModelParams,
+    point_model_forward,
+    sample_image_at_ndc,
+)
+from dss_tpu.render.ewa import RasterSettings
+from dss_tpu.training.losses import (
+    build_knn,
+    dr_loss,
+    get_phi,
+    iou_loss,
+    l1_loss,
+    l2_loss,
+    projection_loss,
+    repulsion_loss,
+    smape_loss,
+)
+from dss_tpu.training.trainer import (
+    AnnealSchedule,
+    TrainConfig,
+    chamfer_distance,
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+    psnr,
+)
+from tests.test_render import fibonacci_sphere
+
+
+class TestImageLosses:
+    def test_l1_l2_smape(self):
+        x = jnp.array([1.0, 2.0, 3.0])
+        y = jnp.array([1.5, 2.0, 2.0])
+        np.testing.assert_allclose(l1_loss(x, y), 0.5, atol=1e-6)
+        np.testing.assert_allclose(l2_loss(x, y), (0.25 + 1.0) / 3, atol=1e-6)
+        assert float(smape_loss(x, y)) > 0
+
+    def test_l1_masked(self):
+        x = jnp.array([1.0, 100.0])
+        y = jnp.array([0.0, 0.0])
+        m = jnp.array([True, False])
+        np.testing.assert_allclose(l1_loss(x, y, mask=m), 1.0, atol=1e-6)
+
+    def test_iou(self):
+        a = jnp.ones((1, 4, 4))
+        np.testing.assert_allclose(iou_loss(a, a), 0.0, atol=1e-6)
+        b = jnp.zeros((1, 4, 4))
+        np.testing.assert_allclose(iou_loss(a, b), 1.0, atol=1e-6)
+
+    def test_dr_loss_parts(self):
+        img = jnp.ones((2, 8, 8, 3)) * 0.5
+        pred = jnp.ones((2, 8, 8, 3)) * 0.25
+        m = jnp.ones((2, 8, 8))
+        total, parts = dr_loss(img, pred, m, m)
+        np.testing.assert_allclose(parts["loss_dr_rgb"], 0.25, atol=1e-5)
+        np.testing.assert_allclose(parts["loss_dr_silhouette"], 0.0, atol=1e-5)
+        np.testing.assert_allclose(total, 0.25, atol=1e-5)
+
+
+class TestSurfaceLosses:
+    @pytest.fixture(scope="class")
+    def flat_cloud(self):
+        key = jax.random.PRNGKey(0)
+        xy = jax.random.uniform(key, (300, 2), minval=-1.0, maxval=1.0)
+        pts = jnp.concatenate([xy, jnp.zeros((300, 1))], axis=-1)
+        normals = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (300, 1))
+        mask = jnp.ones((300,), bool)
+        return pts, normals, mask
+
+    def test_phi_positive_decreasing(self, flat_cloud):
+        pts, _, mask = flat_cloud
+        knn = build_knn(pts, mask, knn_k=8)
+        phi = get_phi(knn)
+        assert phi.shape == (300, 7)
+        assert bool(jnp.all(phi >= 0)) and bool(jnp.all(phi <= 1))
+        # nearest neighbor gets the largest weight
+        assert bool(jnp.all(phi[:, 0] >= phi[:, -1] - 1e-6))
+
+    def test_projection_zero_on_plane(self, flat_cloud):
+        pts, normals, mask = flat_cloud
+        lp = projection_loss(pts, normals, mask)
+        np.testing.assert_allclose(lp, 0.0, atol=1e-8)
+        # lift one point off the plane -> positive loss pulling it back
+        pts2 = pts.at[0, 2].set(0.05)
+        lp2 = projection_loss(pts2, normals, mask)
+        assert float(lp2) > 1e-9
+        g = jax.grad(lambda p: projection_loss(p, normals, mask))(pts2)
+        assert float(g[0, 2]) > 0  # gradient pushes the point down to the plane
+
+    def test_repulsion_prefers_spread(self, flat_cloud):
+        pts, normals, mask = flat_cloud
+        # clumped cloud = two near-duplicate clusters
+        clumped = jnp.concatenate(
+            [pts[:150], pts[:150] + jnp.array([1e-3, 0.0, 0.0])], axis=0
+        )
+        l_spread = repulsion_loss(pts, normals, mask)
+        l_clump = repulsion_loss(clumped, normals, mask)
+        assert float(l_clump) > float(l_spread) - 0.2  # clumps not favored
+        g = jax.grad(lambda p: repulsion_loss(p, normals, mask))(clumped)
+        assert bool(jnp.all(jnp.isfinite(g)))
+        assert float(jnp.abs(g).max()) > 0
+
+    def test_masked_points_ignored(self, flat_cloud):
+        pts, normals, mask = flat_cloud
+        # add garbage padding points, masked out
+        pts_pad = jnp.concatenate([pts, jnp.full((50, 3), 1e6)], axis=0)
+        normals_pad = jnp.concatenate([normals, jnp.zeros((50, 3))], axis=0)
+        mask_pad = jnp.concatenate([mask, jnp.zeros((50,), bool)])
+        lp = projection_loss(pts_pad, normals_pad, mask_pad)
+        np.testing.assert_allclose(lp, 0.0, atol=1e-8)
+
+
+class TestModelAndTrainStep:
+    def _setup(self):
+        pts = jnp.asarray(fibonacci_sphere(400, 0.5))
+        normals = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+        params = PointModelParams.create(
+            pts, normals, jnp.full_like(pts, 0.5)
+        )
+        r, t = look_at_view_transform(
+            dist=jnp.array([2.0, 2.0]),
+            elev=jnp.array([0.0, 20.0]),
+            azim=jnp.array([0.0, 120.0]),
+        )
+        cams = FoVPerspectiveCameras.create(r, t, fov=60.0)
+        settings = RasterSettings(image_size=32, points_per_pixel=3)
+        return params, cams, settings
+
+    def test_sample_image_at_ndc(self):
+        img = jnp.arange(16.0).reshape(1, 4, 4)
+        # center of pixel (1, 2): ndc x for col 2 with align_corners=False:
+        # x = (c + 0.5) / W * 2 - 1 = 0.25; y row 1 -> -0.25
+        v = sample_image_at_ndc(img, jnp.array([[[0.25, -0.25]]]))
+        np.testing.assert_allclose(v, [[6.0]], atol=1e-5)
+
+    def test_model_forward_filters(self):
+        params, cams, settings = self._setup()
+        filters = PointFilters.ones(params.points.shape[0])
+        mask_img = jnp.ones((2, 32, 32))
+        out, nf = point_model_forward(
+            params, filters, cams, None, settings, mask_img=mask_img
+        )
+        assert out["img_pred"].shape == (2, 32, 32, 3)
+        assert out["mask_img_pred"].shape == (2, 32, 32)
+        assert int(nf.visibility.sum()) > 50
+        # full GT mask -> inmask == visibility
+        np.testing.assert_array_equal(np.asarray(nf.inmask), np.asarray(nf.visibility))
+
+    def test_anneal_schedule(self):
+        sch = AnnealSchedule(
+            init_backward_radii=10.0,
+            steps_backward_radii=200,
+            gamma_backward_radii=0.9,
+            limit_backward_radii=2.0,
+        )
+        np.testing.assert_allclose(sch.backward_radii(jnp.int32(0)), 10.0)
+        np.testing.assert_allclose(sch.backward_radii(jnp.int32(200)), 9.0)
+        np.testing.assert_allclose(sch.backward_radii(jnp.int32(10**6)), 2.0)
+
+    def test_train_step_reduces_loss(self):
+        params, cams, settings = self._setup()
+        optimizer = make_optimizer()
+        state = create_train_state(params, optimizer)
+        cfg = TrainConfig(lambda_proj=0.01, lambda_repel=0.01)
+        schedule = AnnealSchedule()
+        step = make_train_step(optimizer, settings, cfg, schedule)
+
+        # Target: render of the *initial* cloud shifted — use a blank target to
+        # simply check the machinery: loss finite, params move, filters update.
+        img = jnp.zeros((2, 32, 32, 3))
+        mask_img = jnp.zeros((2, 32, 32))
+        mask_img = mask_img.at[:, 8:24, 8:24].set(1.0)
+
+        losses = []
+        for _ in range(3):
+            state, metrics = step(state, cams, None, img, mask_img)
+            assert bool(metrics["params_finite"])
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert int(state.step) == 3
+        # points should have moved
+        assert float(jnp.abs(state.params.points - params.points).max()) > 0
+
+    def test_chamfer(self):
+        x = jnp.asarray(fibonacci_sphere(200, 1.0))
+        cd, cn = chamfer_distance(x, x, x, x)
+        np.testing.assert_allclose(cd, 0.0, atol=1e-5)
+        np.testing.assert_allclose(cn, 0.0, atol=1e-5)
+        y = x * 1.1
+        cd2, _ = chamfer_distance(x, y)
+        assert float(cd2) > 0
+
+    def test_psnr(self):
+        a = jnp.ones((4, 4, 3)) * 0.5
+        assert float(psnr(a, a)) > 100
+        b = jnp.zeros((4, 4, 3))
+        np.testing.assert_allclose(psnr(a, b), -10 * np.log10(0.25), atol=1e-3)
