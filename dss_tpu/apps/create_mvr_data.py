@@ -1,0 +1,198 @@
+"""Data-generation CLI: render GT multi-view images from a mesh.
+
+Reference: scripts/create_mvr_data_from_mesh.py (74-255) — load mesh,
+normalize to unit sphere, random look-at cameras (dist 1.2-2.2, znear 0.1),
+tri-color RGB light rig (common.py:47-89) or random single light per view
+(common.py:91-121), flat-shaded mesh render per view; writes per-view
+rgb/mask pngs, data_dict.npz (camera_mat, lights_%d, GT sampled cloud) and
+cameras.npz.
+
+Usage:
+  python -m dss_tpu.apps.create_mvr_data --mesh bunny.ply --out data/bunny \
+      --num-cameras 16 --image-size 256 [--tri-color-lights]
+"""
+from __future__ import annotations
+
+import argparse
+import math
+import os
+
+import numpy as np
+
+
+def tri_color_light_rig(cam_pos: np.ndarray, rng: np.random.Generator,
+                        point_lights: bool = True, has_specular: bool = False):
+    """Three RGB lights on the half dome, rotated into a random frame around
+    the camera axis (reference common.py:47-89).  Returns dict of (L, 3)."""
+    elev = np.deg2rad(np.array([30.0, 30.0, 30.0]))
+    azim = np.deg2rad(np.array([-60.0, 60.0, 180.0]))
+    dirs = np.stack(
+        [np.cos(elev) * np.sin(azim), np.sin(elev), np.cos(elev) * np.cos(azim)],
+        axis=-1,
+    )
+    # random frame with up = camera direction
+    up = cam_pos / max(np.linalg.norm(cam_pos), 1e-9)
+    at = np.cross(cam_pos, rng.standard_normal(3))
+    at /= max(np.linalg.norm(at), 1e-9)
+    z = at
+    x = np.cross(up, z); x /= max(np.linalg.norm(x), 1e-9)
+    y = np.cross(z, x)
+    frame = np.stack([x, y, z], axis=0)  # rows
+    dirs = dirs @ frame
+    diffuse = np.array([[0.0, 0.0, 0.8], [0.0, 0.8, 0.0], [0.8, 0.0, 0.0]])
+    if has_specular:
+        specular = 0.15 * diffuse
+        diffuse = diffuse * 0.85
+    else:
+        specular = np.zeros_like(diffuse)
+    out = {
+        "ambient_color": np.tile([[0.2, 0.2, 0.2]], (3, 1)).astype(np.float32),
+        "diffuse_color": diffuse.astype(np.float32),
+        "specular_color": specular.astype(np.float32),
+    }
+    if point_lights:
+        out["location"] = (dirs * 5.0).astype(np.float32)
+    else:
+        out["direction"] = dirs.astype(np.float32)
+    return out
+
+
+def random_light_rig(cam_to_world, rng: np.random.Generator,
+                     point_lights: bool = True, has_specular: bool = False):
+    """One random light per view, direction drawn in camera space and
+    transformed to world (reference common.py:91-121)."""
+    elev = np.deg2rad(rng.integers(10, 90))
+    azim = np.deg2rad(rng.integers(0, 360))
+    d = np.array(
+        [np.cos(elev) * np.sin(azim), np.sin(elev), np.cos(elev) * np.cos(azim)]
+    )
+    d = d @ cam_to_world[:3, :3]
+    diffuse = np.array([[0.2, 0.2, 0.2]])
+    if has_specular:
+        specular = 0.15 * diffuse
+        diffuse = diffuse * 0.85
+    else:
+        specular = np.zeros_like(diffuse)
+    out = {
+        "ambient_color": np.array([[0.6, 0.6, 0.6]], np.float32),
+        "diffuse_color": diffuse.astype(np.float32),
+        "specular_color": specular.astype(np.float32),
+    }
+    if point_lights:
+        out["location"] = (d[None] * 5.0).astype(np.float32)
+    else:
+        out["direction"] = d[None].astype(np.float32)
+    return out
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Render GT multi-view data from a mesh")
+    parser.add_argument("--mesh", required=True, help="input mesh .ply")
+    parser.add_argument("--out", required=True, help="output dataset dir")
+    parser.add_argument("--num-cameras", type=int, default=16)
+    parser.add_argument("--image-size", type=int, default=256)
+    parser.add_argument("--min-dist", type=float, default=1.2)
+    parser.add_argument("--max-dist", type=float, default=2.2)
+    parser.add_argument("--fov", type=float, default=60.0)
+    parser.add_argument("--znear", type=float, default=0.1)
+    parser.add_argument("--zfar", type=float, default=100.0)
+    parser.add_argument("--n-points", type=int, default=20000, help="GT cloud samples")
+    parser.add_argument("--tri-color-lights", action="store_true")
+    parser.add_argument("--point-lights", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--platform", type=str, default=None)
+    args = parser.parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import imageio.v2 as imageio
+    import jax.numpy as jnp
+
+    from dss_tpu.data.io import read_ply
+    from dss_tpu.geometry.cameras import sample_random_cameras
+    from dss_tpu.geometry.shapes import sample_points_from_mesh
+    from dss_tpu.render.lighting import DirectionalLights, PointLights
+    from dss_tpu.render.mesh_raster import render_mesh_flat
+
+    rng = np.random.default_rng(args.seed)
+    mesh = read_ply(args.mesh)
+    if mesh.faces is None:
+        raise ValueError("mesh has no faces: " + args.mesh)
+    verts = mesh.points.astype(np.float64)
+    # normalize to unit sphere (reference create_mvr_data_from_mesh.py:122-126)
+    center = (verts.max(0) + verts.min(0)) / 2.0
+    verts = verts - center
+    verts = verts / np.linalg.norm(verts, axis=-1).max()
+    verts = verts.astype(np.float32)
+    faces = mesh.faces
+
+    cams = sample_random_cameras(
+        jax.random.PRNGKey(args.seed), args.num_cameras,
+        args.min_dist, args.max_dist, fov=args.fov, znear=args.znear, zfar=args.zfar,
+    )
+    cam_pos = np.asarray(cams.camera_position())
+
+    os.makedirs(os.path.join(args.out, "image"), exist_ok=True)
+    os.makedirs(os.path.join(args.out, "mask"), exist_ok=True)
+
+    data = {}
+    m44 = np.zeros((args.num_cameras, 4, 4), np.float32)
+    m44[:, :3, :3] = np.asarray(cams.R)
+    m44[:, 3, :3] = np.asarray(cams.T)
+    m44[:, 3, 3] = 1.0
+
+    render = jax.jit(
+        lambda v, f, cam, lights: render_mesh_flat(
+            v, f, cam, lights, args.image_size
+        ),
+        static_argnums=(),
+    )
+    verts_j = jnp.asarray(verts)
+    faces_j = jnp.asarray(faces)
+
+    lights_type = "PointLights" if args.point_lights else "DirectionalLights"
+    for i in range(args.num_cameras):
+        cam_i = jax.tree_util.tree_map(lambda x: x[i : i + 1], cams)
+        if args.tri_color_lights:
+            rig = tri_color_light_rig(cam_pos[i], rng, args.point_lights)
+        else:
+            c2w = np.linalg.inv(m44[i])
+            rig = random_light_rig(m44[i], rng, args.point_lights)
+        if "location" in rig:
+            lights = PointLights(rig["ambient_color"], rig["diffuse_color"],
+                                 rig["specular_color"], rig["location"])
+        else:
+            lights = DirectionalLights(rig["ambient_color"], rig["diffuse_color"],
+                                       rig["specular_color"], rig["direction"])
+        rgba = np.asarray(render(verts_j, faces_j, cam_i, lights))
+        imageio.imwrite(
+            os.path.join(args.out, "image", "%06d.png" % i),
+            (np.clip(rgba[..., :3], 0, 1) * 255).astype(np.uint8),
+        )
+        imageio.imwrite(
+            os.path.join(args.out, "mask", "%06d.png" % i),
+            (rgba[..., 3] * 255).astype(np.uint8),
+        )
+        data["lights_%d" % i] = {k: v[None] for k, v in rig.items()}
+        print("view %d/%d" % (i + 1, args.num_cameras))
+
+    pts, normals = sample_points_from_mesh(verts, faces, args.n_points, rng=rng)
+    data.update(
+        camera_mat=m44,
+        points=pts,
+        normals=normals,
+        colors=np.ones_like(pts),
+        cameras_type="FoVPerspectiveCameras",
+        cameras_params={"fov": args.fov, "znear": args.znear, "zfar": args.zfar},
+        lights_type=lights_type,
+    )
+    np.savez(os.path.join(args.out, "data_dict.npz"), **data)
+    np.savez(os.path.join(args.out, "cameras.npz"),
+             **{"world_mat_%d" % i: m44[i] for i in range(args.num_cameras)})
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

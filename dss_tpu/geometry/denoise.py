@@ -1,0 +1,323 @@
+"""Point-cloud denoising / resampling operators.
+
+Reference: DSS/core/cloud.py standalone geometry ops —
+  remove_outliers (363-378), resample_uniformly (381-440),
+  project_to_latent_surface (442-513, RIMLS robust implicit MLS),
+  denoise_normals (515-552, bilateral normal filtering),
+  upsample (555-632), upsample_ear (634-741, EAR-style edge-aware
+  resampling with LOP projection + repulsion).
+
+These power the paper's point-cloud denoising application (noisy armadillo
+benchmark).  All functions are single-cloud (P, ·) + mask, static shapes;
+FRNN grid queries become dss_tpu.geometry.knn calls.
+
+Deviation noted: the reference's RIMLS gradient drops the minus sign of
+dφ/dx and scales by weights instead of alpha (cloud.py:488-489); here the
+mathematically correct MLS gradient is used (the projection then provably
+converges to the plane for clean planar data — tested).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dss_tpu.geometry.knn import knn_points, masked_gather
+from dss_tpu.geometry.normals import estimate_local_coord_frames, estimate_normals
+from dss_tpu.utils.mathutil import eps_denom, normalize
+
+
+def _bbox_diag(points: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    pts = jnp.where(mask[:, None], points, jnp.nan)
+    return jnp.linalg.norm(jnp.nanmax(pts, axis=0) - jnp.nanmin(pts, axis=0))
+
+
+def remove_outliers(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    neighborhood_size: int = 16,
+    tolerance: float = 0.05,
+) -> jnp.ndarray:
+    """Outlier = ratio of smallest to total neighborhood variance exceeds
+    `tolerance` (reference cloud.py:363-378).  Returns the updated mask."""
+    curv, _ = estimate_local_coord_frames(points, mask, neighborhood_size)
+    ratio = curv[:, 0] / eps_denom(jnp.sum(curv, axis=-1))
+    return mask & (ratio < tolerance)
+
+
+def denoise_normals_bilateral(
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    mask: jnp.ndarray,
+    sharpness_sigma: float = 30.0,
+    neighborhood_size: int = 16,
+) -> jnp.ndarray:
+    """Bilateral normal mollification (reference cloud.py:515-552):
+    weights exp(-((1-n·nᵢ)/σ)²) · exp(-d²·P/2) with the spatial term cut at
+    d² > 16/(P/2)."""
+    p = points.shape[0]
+    dists, idx = knn_points(points, points, mask, mask, k=neighborhood_size, exclude_self=True)
+    valid = idx >= 0
+    dists = jnp.where(valid, dists, 0.0)
+
+    n = normalize(normals)
+    nn_normals = masked_gather(n, idx)
+    cos = jnp.sum(nn_normals * n[:, None, :], axis=-1)
+    w_n = jnp.exp(-(((1.0 - cos) / sharpness_sigma) ** 2))
+
+    n_valid = jnp.sum(mask.astype(points.dtype))
+    inv_sigma_spatial = n_valid / 2.0
+    spatial_cut = 16.0 / inv_sigma_spatial
+    w_p = jnp.exp(-dists * inv_sigma_spatial)
+    w_p = jnp.where(dists > spatial_cut, 0.0, w_p)
+
+    w = w_p * w_n * valid
+    out = jnp.sum(nn_normals * w[..., None], axis=-2) / eps_denom(
+        jnp.sum(w, axis=-1, keepdims=True)
+    )
+    out = normalize(out)
+    return jnp.where(mask[:, None], jnp.where(jnp.all(out == 0, -1, keepdims=True), n, out), normals)
+
+
+def resample_uniformly(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    normals: Optional[jnp.ndarray] = None,
+    neighborhood_size: int = 8,
+    iters: int = 1,
+    repulsion_mu: float = 1.0,
+    reproject: bool = False,
+) -> jnp.ndarray:
+    """Repulsion-style uniform resampling (reference cloud.py:381-440): move
+    each point along the density-weighted mean of normalized tangential
+    offsets from its neighbors, step size μ·avg_spacing."""
+    p = points.shape[0]
+    if normals is None:
+        normals = estimate_normals(points, mask, neighborhood_size)
+    else:
+        normals = normalize(normals)
+
+    n_valid = jnp.sum(mask.astype(points.dtype))
+    diag = _bbox_diag(points, mask)
+    avg_spacing = jnp.sqrt(diag / p)
+    inv_sigma_spatial = n_valid / 2.0 / 16.0
+
+    _, idx0 = knn_points(points, points, mask, mask, k=neighborhood_size, exclude_self=True)
+    valid = idx0 >= 0
+
+    def step(pts, normals):
+        nn = masked_gather(pts, idx0)
+        pts_diff = pts[:, None, :] - nn
+        d2 = jnp.sum(pts_diff**2, axis=-1)
+        spatial_w = jnp.exp(-d2 * inv_sigma_spatial) * valid
+        density = masked_gather(
+            (jnp.sum(spatial_w, -1, keepdims=True) + 1.0), idx0
+        )[..., 0]
+        nn_normals = masked_gather(normals, idx0)
+        proj = pts_diff - jnp.sum(pts_diff * nn_normals, -1, keepdims=True) * nn_normals
+        move = repulsion_mu * avg_spacing * jnp.mean(
+            density[..., None] * spatial_w[..., None] * normalize(proj), axis=-2
+        )
+        return pts + move * mask[:, None]
+
+    pts = points
+    for i in range(iters):
+        if reproject:
+            normals = denoise_normals_bilateral(pts, normals, mask)
+            pts = project_to_latent_surface(
+                pts, normals, mask, max_proj_iters=2, max_est_iter=3
+            )
+        pts = step(pts, normals)
+    return pts
+
+
+def project_to_latent_surface(
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    mask: jnp.ndarray,
+    sharpness_angle: float = 60.0,
+    neighborhood_size: int = 31,
+    max_proj_iters: int = 10,
+    max_est_iter: int = 5,
+) -> jnp.ndarray:
+    """RIMLS projection (reference cloud.py:442-513): iterated robust implicit
+    MLS — project each point onto the latent surface defined by neighbors'
+    planes, with robust reweighting (normal-difference and residual terms).
+
+    Fixed iteration counts (the reference's per-point convergence loops become
+    masked updates), converged points (‖move‖ ≤ 5e-4) stop moving.
+    """
+    p = points.shape[0]
+    normals = normalize(normals)
+    dists, idx = knn_points(points, points, mask, mask, k=neighborhood_size, exclude_self=True)
+    valid = idx >= 0
+    nn_normals = masked_gather(normals, idx)  # fixed neighbor normals
+    inv_sigma = 1.0 / eps_denom(jnp.where(jnp.isfinite(dists[:, 0]), dists[:, 0], 1.0)) / 16.0
+
+    def proj_step(pts, active):
+        nn = masked_gather(pts, idx)  # (P, K, 3) current neighbor positions
+        pts_diff = pts[:, None, :] - nn
+        fx = jnp.sum(pts_diff * nn_normals, axis=-1)  # (P, K) plane offsets
+        d2 = jnp.sum(pts_diff * pts_diff, axis=-1)
+        phi = jnp.exp(-d2 * inv_sigma[:, None]) * valid
+
+        def est_iter(carry, _):
+            f, grad_f, alpha = carry
+            w_n = jnp.exp(
+                -((jnp.linalg.norm(nn_normals - grad_f[:, None, :], axis=-1) / 0.5) ** 2)
+            )
+            w_p = jnp.exp(-((fx - f[:, None]) ** 2) * inv_sigma[:, None] / 4.0)
+            alpha = w_n * w_p
+            w = phi * alpha
+            # dw/dx = −2 (x−xᵢ) inv_sigma φ α (correct MLS gradient)
+            gw = -2.0 * pts_diff * (inv_sigma[:, None] * phi * alpha)[..., None]
+            sum_w = eps_denom(jnp.sum(w, axis=-1))
+            f_new = jnp.sum(w * fx, axis=-1) / sum_w
+            grad_new = (
+                jnp.sum(gw * fx[..., None], axis=-2)
+                - f_new[:, None] * jnp.sum(gw, axis=-2)
+                + jnp.sum(w[..., None] * nn_normals, axis=-2)
+            ) / sum_w[:, None]
+            return (f_new, grad_new, alpha), None
+
+        # first estimate with alpha = 1
+        w0 = phi
+        sum_w0 = eps_denom(jnp.sum(w0, axis=-1))
+        f0 = jnp.sum(w0 * fx, axis=-1) / sum_w0
+        gw0 = -2.0 * pts_diff * (inv_sigma[:, None] * phi)[..., None]
+        g0 = (
+            jnp.sum(gw0 * fx[..., None], axis=-2)
+            - f0[:, None] * jnp.sum(gw0, axis=-2)
+            + jnp.sum(w0[..., None] * nn_normals, axis=-2)
+        ) / sum_w0[:, None]
+        (f, grad_f, _), _ = jax.lax.scan(
+            est_iter, (f0, g0, jnp.ones_like(fx)), None, length=max_est_iter - 1
+        )
+
+        move = f[:, None] * grad_f
+        still = jnp.linalg.norm(move, axis=-1) > 5e-4
+        pts = pts - jnp.where((active & mask)[:, None], move, 0.0)
+        return pts, active & still
+
+    pts = points
+    active = jnp.ones((p,), bool)
+    for _ in range(max_proj_iters):
+        pts, active = proj_step(pts, active)
+    return pts
+
+
+def _insert_round(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    n_current: int,
+    n_new: int,
+    neighborhood_size: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One insertion round shared by upsample/upsample_ear (reference
+    cloud.py:586-625): candidate midpoints (xᵢ + 2x)/3 per neighbor; a
+    candidate's score is its distance to the nearest existing neighbor; the
+    father's sparsest candidate wins; insert the globally sparsest n_new."""
+    k = neighborhood_size
+    _, idx = knn_points(points, points, mask, mask, k=k, exclude_self=True)
+    nn = masked_gather(points, idx, fill=jnp.inf)  # (P, K, 3)
+    mid = (jnp.where(jnp.isfinite(nn), nn, 0.0) + 2.0 * points[:, None, :]) / 3.0
+    # (P, K, K): midpoint k vs neighbor j
+    diff = mid[:, :, None, :] - nn[:, None, :, :]
+    d = jnp.linalg.norm(jnp.where(jnp.isfinite(diff), diff, jnp.inf), axis=-1)
+    d = jnp.where(jnp.isfinite(d), d, jnp.inf)
+    min_d = jnp.min(d, axis=-1)  # (P, K)
+    min_d = jnp.where(idx >= 0, min_d, -jnp.inf)
+    father_sparsity = jnp.max(min_d, axis=-1)  # (P,)
+    father_nb = jnp.argmax(min_d, axis=-1)
+    father_sparsity = jnp.where(mask, father_sparsity, -jnp.inf)
+    new_candidates = mid[jnp.arange(points.shape[0]), father_nb]  # (P, 3)
+    _, top = jax.lax.top_k(father_sparsity, n_new)
+    new_pts = new_candidates[top]
+    points = jax.lax.dynamic_update_slice(points, new_pts, (n_current, 0))
+    mask = mask | (
+        (jnp.arange(points.shape[0]) >= n_current)
+        & (jnp.arange(points.shape[0]) < n_current + n_new)
+    )
+    return points, mask
+
+
+def upsample(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    n_current: int,
+    n_target: int,
+    neighborhood_size: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Iterative sparsity-seeking upsampling (reference cloud.py:555-632).
+
+    `points` must have capacity ≥ n_target; `n_current` is the static count of
+    valid points (first n_current rows).  Each round inserts up to
+    n_current//10 midpoints at the sparsest locations.
+    """
+    assert points.shape[0] >= n_target
+    while n_current < n_target:
+        n_new = min(n_target - n_current, max(n_current // 10, 1))
+        points, mask = _insert_round(points, mask, n_current, n_new, neighborhood_size)
+        n_current += n_new
+    return points, mask
+
+
+def upsample_ear(
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    mask: jnp.ndarray,
+    n_current: int,
+    n_target: int,
+    neighborhood_size: int = 16,
+    repulsion_mu: float = 0.4,
+    denoise: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """EAR-style edge-aware resampling (reference cloud.py:634-741): one LOP
+    projection step (data term pulling along the normal-consistency weight +
+    clipped repulsion term), then the same insertion loop as `upsample`."""
+    p = points.shape[0]
+    n_valid = jnp.sum(mask.astype(points.dtype))
+    diag = _bbox_diag(points, mask)
+    inv_sigma_spatial = n_valid / eps_denom(diag)
+    spatial_cut = 16.0 / inv_sigma_spatial
+
+    dists, idx = knn_points(points, points, mask, mask, k=neighborhood_size, exclude_self=True)
+    valid = idx >= 0
+    dists = jnp.where(valid, dists, 0.0)
+    nn = masked_gather(points, idx)
+    move_clip = jnp.sqrt(
+        jnp.sum(jnp.where(mask, jnp.where(jnp.isfinite(dists[:, 0]), dists[:, 0], 0.0), 0.0))
+        / eps_denom(n_valid)
+    )
+
+    if denoise:
+        normals = denoise_normals_bilateral(points, normals, mask)
+    normals = normalize(normals)
+
+    off = points[:, None, :] - nn
+    w_lop = jnp.exp(
+        -jnp.sum(normals[:, None, :] * off, axis=-1) ** 2 * inv_sigma_spatial
+    )
+    w_lop = jnp.where((dists > spatial_cut) | ~valid, 0.0, w_lop)
+    spatial_w = jnp.exp(-dists * inv_sigma_spatial)
+    spatial_w = jnp.where((dists > spatial_cut) | ~valid, 0.0, spatial_w)
+    density_w = jnp.sum(spatial_w, axis=-1) + 1.0
+
+    move_data = jnp.sum(w_lop[..., None] * off, axis=-2) / eps_denom(
+        jnp.sum(w_lop, axis=-1, keepdims=True)
+    )
+    move_repul = (
+        repulsion_mu
+        * density_w[..., None]
+        * jnp.sum(spatial_w[..., None] * (nn - points[:, None, :]), axis=-2)
+        / eps_denom(jnp.sum(spatial_w, axis=-1, keepdims=True))
+    )
+
+    def clip(v):
+        n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        return normalize(v) * jnp.minimum(n, move_clip)
+
+    points = points - (clip(move_data) + clip(move_repul)) * mask[:, None]
+    return upsample(points, mask, n_current, n_target, neighborhood_size)

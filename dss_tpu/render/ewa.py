@@ -66,6 +66,15 @@ class RasterSettings:
     backface_culling: bool = struct.field(pytree_node=False, default=True)
     clip_pts_grad: float = struct.field(pytree_node=False, default=-1.0)
     frnn_radius: float = struct.field(pytree_node=False, default=-1.0)
+    # Rasterizer backend: "reference" (pure-jnp spec), "pallas" (tile-binned
+    # TPU kernels), or "auto" (pallas on TPU, reference elsewhere).
+    backend: str = struct.field(pytree_node=False, default="auto")
+    # Pallas tuning: pixels per tile, candidate capacity per tile, candidate
+    # chunk per VPU pass, max tiles a splat may span per axis.
+    tile_size: int = struct.field(pytree_node=False, default=32)
+    bin_capacity: int = struct.field(pytree_node=False, default=512)
+    bin_chunk: int = struct.field(pytree_node=False, default=128)
+    max_tiles_per_splat: int = struct.field(pytree_node=False, default=4)
 
 
 @struct.dataclass

@@ -67,17 +67,40 @@ def render_single_view(
         pts_screen = clip_grad_norm(pts_screen, settings.clip_pts_grad)
 
     # 3. Rasterize (custom VJP: occupancy/zbuf gradients, see rasterizer.py).
-    idx, zbuf, qvalue, occ = rasterize_points(
-        settings.image_size,
-        settings.points_per_pixel,
-        row_chunk,
-        pts_screen,
-        splats.ellipse_params,
-        splats.cutoff,
-        splats.radii,
-        settings.depth_merging_threshold,
-        settings.radii_backward_scaler,
-    )
+    backend = settings.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "reference"
+    if backend == "pallas":
+        from dss_tpu.ops.splat_pallas import rasterize_points_pallas
+
+        idx, zbuf, qvalue, occ = rasterize_points_pallas(
+            settings.image_size,
+            settings.points_per_pixel,
+            (
+                settings.tile_size,
+                settings.bin_capacity,
+                settings.bin_chunk,
+                settings.max_tiles_per_splat,
+            ),
+            pts_screen,
+            splats.ellipse_params,
+            splats.cutoff,
+            splats.radii,
+            settings.depth_merging_threshold,
+            settings.radii_backward_scaler,
+        )
+    else:
+        idx, zbuf, qvalue, occ = rasterize_points(
+            settings.image_size,
+            settings.points_per_pixel,
+            row_chunk,
+            pts_screen,
+            splats.ellipse_params,
+            splats.cutoff,
+            splats.radii,
+            settings.depth_merging_threshold,
+            settings.radii_backward_scaler,
+        )
     fragments = Fragments(idx=idx, zbuf=zbuf, qvalue=qvalue, occupancy=occ)
 
     # 4. weights = exp(-0.5 Q) · scaler (renderer.py:53); per-fragment scaler

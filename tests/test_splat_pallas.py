@@ -1,0 +1,166 @@
+"""Parity tests: Pallas tile-binned rasterizer vs the pure-JAX reference
+implementation (the executable spec) on identical inputs — the same role the
+CPU twins play for the CUDA kernels in the reference (SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dss_tpu.geometry.cameras import FoVPerspectiveCameras, look_at_view_transform
+from dss_tpu.ops.splat_pallas import (
+    bin_splats,
+    ndc_to_pixel,
+    occ_backward_pallas,
+    rasterize_forward_pallas,
+)
+from dss_tpu.render.ewa import RasterSettings, prepare_splats
+from dss_tpu.render.rasterizer import (
+    _occ_backward,
+    _rasterize_rows,
+    visible_points_mask,
+)
+from tests.test_render import fibonacci_sphere
+
+
+def make_splats(n=500, seed=0, image_size=64):
+    """Realistic splat set from the EWA pipeline on a sphere."""
+    pts = jnp.asarray(fibonacci_sphere(n, 0.5))
+    normals = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+    mask = jnp.ones((n,), bool)
+    r, t = look_at_view_transform(dist=2.0, elev=15.0, azim=40.0)
+    cam = FoVPerspectiveCameras.create(r, t, fov=60.0)
+    st = RasterSettings(
+        image_size=image_size, points_per_pixel=5, backface_culling=True
+    )
+    sp = prepare_splats(pts, normals, mask, cam, st)
+    return sp, st
+
+
+class TestBinning:
+    def test_ndc_to_pixel_roundtrip(self):
+        s = 64
+        # pixel center c maps to ndc 1-(2c+1)/s; ndc_to_pixel inverts it.
+        c = jnp.arange(s, dtype=jnp.float32)
+        ndc = 1.0 - (2.0 * c + 1.0) / s
+        np.testing.assert_allclose(ndc_to_pixel(ndc, s), c, atol=1e-4)
+
+    def test_bin_splats_covers_aabb(self):
+        # One splat at ndc (0,0) with radius covering the whole image must be
+        # listed in every tile.
+        pts = jnp.array([[0.0, 0.0, 1.0]])
+        radii = jnp.array([[1.0, 1.0]])
+        b = bin_splats(
+            pts, jnp.ones((1, 3)), jnp.ones((1,)), radii,
+            image_size=64, tile_size=32, bin_capacity=8,
+        )
+        assert int((b.tile_counts > 0).sum()) == 4
+        np.testing.assert_array_equal(np.asarray(b.tile_ids[:, 0]), 0)
+
+    def test_bin_splats_small_splat_one_tile(self):
+        # Tiny splat in the up-left quadrant (+x,+y ndc → low pixel indices).
+        pts = jnp.array([[0.5, 0.5, 1.0]])
+        radii = jnp.array([[0.01, 0.01]])
+        b = bin_splats(
+            pts, jnp.ones((1, 3)), jnp.ones((1,)), radii,
+            image_size=64, tile_size=32, bin_capacity=8,
+        )
+        counts = np.asarray(b.tile_counts).reshape(2, 2)
+        assert counts[0, 0] == 1 and counts.sum() == 1
+
+    def test_depth_sorted_within_tile(self):
+        key = jax.random.PRNGKey(0)
+        pts = jnp.concatenate(
+            [
+                jax.random.uniform(key, (50, 2), minval=-0.2, maxval=0.2),
+                jax.random.uniform(jax.random.PRNGKey(1), (50, 1), minval=0.5, maxval=3.0),
+            ],
+            axis=-1,
+        )
+        radii = jnp.full((50, 2), 0.05)
+        b = bin_splats(
+            pts, jnp.ones((50, 3)), jnp.ones((50,)), radii,
+            image_size=64, tile_size=32, bin_capacity=64,
+        )
+        z = np.asarray(b.tile_data[:, 2, :])
+        ids = np.asarray(b.tile_ids)
+        for tile in range(z.shape[0]):
+            zz = z[tile][ids[tile] >= 0]
+            assert np.all(np.diff(zz) >= -1e-6)
+
+    def test_overflow_reported(self):
+        pts = jnp.zeros((20, 3)).at[:, 2].set(1.0)
+        radii = jnp.full((20, 2), 0.01)
+        b = bin_splats(
+            pts, jnp.ones((20, 3)), jnp.ones((20,)), radii,
+            image_size=64, tile_size=32, bin_capacity=4,
+        )
+        assert int(b.overflow) == 16  # 20 candidates, capacity 4
+
+
+class TestForwardParity:
+    @pytest.mark.parametrize("image_size", [32, 64])
+    def test_matches_reference(self, image_size):
+        sp, st = make_splats(n=400, image_size=image_size)
+        dmt = jnp.float32(0.05)
+        ref = _rasterize_rows(
+            sp.pts_screen, sp.ellipse_params, sp.cutoff, sp.radii,
+            dmt, image_size, 5, 8,
+        )
+        out = rasterize_forward_pallas(
+            sp.pts_screen, sp.ellipse_params, sp.cutoff, sp.radii,
+            dmt, image_size, 5, tile_size=16, bin_capacity=256,
+            chunk=128, max_tiles_xy=4,
+        )
+        ref_idx, ref_z, ref_q, ref_occ = ref
+        idx, z, q, occ = out
+        np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref_occ))
+        # Fragment sets must match per pixel (order may differ on z ties).
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(idx), axis=-1), np.sort(np.asarray(ref_idx), axis=-1)
+        )
+        np.testing.assert_allclose(
+            np.sort(np.asarray(z), axis=-1),
+            np.sort(np.asarray(ref_z), axis=-1),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.sort(np.asarray(q), axis=-1),
+            np.sort(np.asarray(ref_q), axis=-1),
+            atol=1e-4,
+        )
+
+    def test_depth_merge_parity(self):
+        # Two stacked splats beyond the merge window.
+        pts = jnp.array(
+            [[0.0, 0.0, 1.0], [0.01, 0.0, 1.5], [0.6, 0.0, 1.0]], jnp.float32
+        )
+        ellipse = jnp.tile(jnp.array([[44.4, 0.0, 44.4]]), (3, 1))
+        cutoff = jnp.ones((3,))
+        radii = jnp.full((3, 2), 0.15)
+        dmt = jnp.float32(0.05)
+        args = (pts, ellipse, cutoff, radii, dmt)
+        ref = _rasterize_rows(*args, 32, 3, 8)
+        out = rasterize_forward_pallas(*args, 32, 3, tile_size=16, bin_capacity=128)
+        np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(ref[0]))
+        np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref[1]), atol=1e-6)
+
+
+class TestBackwardParity:
+    def test_occ_backward_matches_reference(self):
+        sp, st = make_splats(n=300, image_size=32)
+        dmt = jnp.float32(0.05)
+        idx, z, q, occ = _rasterize_rows(
+            sp.pts_screen, sp.ellipse_params, sp.cutoff, sp.radii, dmt, 32, 5, 8
+        )
+        visible = visible_points_mask(idx, sp.pts_screen.shape[0])
+        key = jax.random.PRNGKey(3)
+        grad_occ = jax.random.normal(key, (32, 32))
+
+        ref = _occ_backward(
+            sp.pts_screen, sp.radii, visible, grad_occ, jnp.float32(3.0), 32, 8
+        )
+        out = occ_backward_pallas(
+            sp.pts_screen, sp.radii, visible, grad_occ, jnp.float32(3.0), 32,
+            tile_size=16, bin_capacity=1024, chunk=128, max_tiles_xy=8,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
