@@ -54,6 +54,7 @@ class MVRDataset:
         img_extension: str = "png",
         mask_extension: str = "png",
         n_imgs: Optional[int] = None,
+        use_native_loader: bool = True,
     ):
         self.data_dir = data_dir
         image_files = _sorted_files(os.path.join(data_dir, img_folder), img_extension)
@@ -73,19 +74,10 @@ class MVRDataset:
                 % (len(image_files), len(mask_files), cam.shape[0])
             )
 
-        self.images = np.stack(
-            [
-                _load_image(f).astype(np.float32)[..., :3] / 255.0
-                for f in image_files[:n]
-            ]
+        self.images, self.masks = self._load_all(
+            image_files[:n], mask_files[:n], img_extension, mask_extension,
+            use_native_loader,
         )
-        masks = []
-        for f in mask_files[:n]:
-            m = _load_image(f)
-            if m.ndim == 3:
-                m = m[..., 0]
-            masks.append((m > 127).astype(np.float32) if m.dtype == np.uint8 else (m > 0.5).astype(np.float32))
-        self.masks = np.stack(masks)
         self.camera_mat = cam[:n]
 
         self.points = np.asarray(dd["points"], np.float32) if "points" in dd else None
@@ -97,6 +89,39 @@ class MVRDataset:
         )
         self.lights_type = str(dd["lights_type"]) if "lights_type" in dd else ""
         self._per_view_lights = self._load_lights(dd, n)
+
+    @staticmethod
+    def _load_all(image_files, mask_files, img_ext, mask_ext, use_native):
+        """Decode all views to RAM.  Uses the parallel C++ PNG decoder
+        (dss_tpu.data.native_loader) when the files are pngs and the native
+        lib builds; falls back to imageio."""
+        if use_native and img_ext == "png" and mask_ext == "png" and image_files:
+            try:
+                from dss_tpu.data import native_loader
+
+                if native_loader.available():
+                    probe = _load_image(image_files[0])
+                    h, w = probe.shape[:2]
+                    pool = native_loader.NativePool(0)
+                    images = pool.load_images(image_files, h, w, 3)
+                    masks = pool.load_images(mask_files, h, w, 1)[..., 0]
+                    return images, (masks > 0.5).astype(np.float32)
+            except Exception:
+                pass  # fall through to imageio
+        images = np.stack(
+            [_load_image(f).astype(np.float32)[..., :3] / 255.0 for f in image_files]
+        )
+        masks = []
+        for f in mask_files:
+            m = _load_image(f)
+            if m.ndim == 3:
+                m = m[..., 0]
+            masks.append(
+                (m > 127).astype(np.float32)
+                if m.dtype == np.uint8
+                else (m > 0.5).astype(np.float32)
+            )
+        return images, np.stack(masks)
 
     def _load_lights(self, dd, n) -> Optional[Dict[str, np.ndarray]]:
         keys = ["ambient_color", "diffuse_color", "specular_color", "direction", "location"]

@@ -154,10 +154,14 @@ def project_to_latent_surface(
     dists, idx = knn_points(points, points, mask, mask, k=neighborhood_size, exclude_self=True)
     valid = idx >= 0
     nn_normals = masked_gather(normals, idx)  # fixed neighbor normals
+    # FIXED neighbor positions: the implicit surface is defined by the input
+    # cloud; gathering from the moving points (as the reference does,
+    # cloud.py:469) makes the fixed point drift — every iteration the whole
+    # cloud inflates by the local sagitta and never converges.
+    nn = masked_gather(points, idx)  # (P, K, 3)
     inv_sigma = 1.0 / eps_denom(jnp.where(jnp.isfinite(dists[:, 0]), dists[:, 0], 1.0)) / 16.0
 
     def proj_step(pts, active):
-        nn = masked_gather(pts, idx)  # (P, K, 3) current neighbor positions
         pts_diff = pts[:, None, :] - nn
         fx = jnp.sum(pts_diff * nn_normals, axis=-1)  # (P, K) plane offsets
         d2 = jnp.sum(pts_diff * pts_diff, axis=-1)
