@@ -48,8 +48,9 @@ from jax.experimental.pallas import tpu as pltpu
 INF = jnp.inf
 
 # Channel layout of the per-candidate data passed to the kernels.
-_CH_PX, _CH_PY, _CH_PZ, _CH_A, _CH_B, _CH_C, _CH_CUT, _CH_RX, _CH_RY = range(9)
-N_CHANNELS = 9
+(_CH_PX, _CH_PY, _CH_PZ, _CH_A, _CH_B, _CH_C, _CH_CUT, _CH_RX, _CH_RY,
+ _CH_SC) = range(10)
+N_CHANNELS = 10
 
 
 def _interpret_mode() -> bool:
@@ -86,6 +87,7 @@ def bin_splats(
     max_tiles_y: int = 4,
     extra_radius: jnp.ndarray | float = 0.0,
     sort_by_depth: bool = True,
+    scaler: jnp.ndarray | None = None,
 ) -> BinnedSplats:
     """Build the per-tile candidate table.
 
@@ -138,12 +140,29 @@ def bin_splats(
     ).reshape(-1)
 
     if sort_by_depth:
-        depth = jnp.broadcast_to(pz[:, None, None], (p, max_tiles_x, max_tiles_y)).reshape(-1)
-        sorted_key, _sorted_depth, sorted_id = jax.lax.sort(
-            (tile_key, depth, splat_id), num_keys=2
+        # Single fused u32 key: tile id in the high bits, 20-bit quantized
+        # depth in the low bits — one sort_key_val instead of a 3-operand
+        # lexicographic sort (the CUDA reference instead bubble-sorts per
+        # pixel).  Quantization only permutes near-equal depths (ties are
+        # arbitrary in the reference too).
+        zq_bits = max(1, 30 - max(n_tiles - 1, 1).bit_length())
+        zq_max = (1 << zq_bits) - 1
+        z_all = jnp.broadcast_to(
+            pz[:, None, None], (p, max_tiles_x, max_tiles_y)
+        ).reshape(-1)
+        z_lo = jnp.min(jnp.where(live, pz, jnp.inf))
+        z_hi = jnp.max(jnp.where(live, pz, -jnp.inf))
+        z_lo = jnp.where(jnp.isfinite(z_lo), z_lo, 0.0)
+        z_hi = jnp.where(jnp.isfinite(z_hi), z_hi, 1.0)
+        z_range = jnp.maximum(z_hi - z_lo, 1e-9)
+        zq = jnp.clip(
+            ((z_all - z_lo) / z_range * zq_max).astype(jnp.int32), 0, zq_max
         )
+        fused = tile_key * (zq_max + 1) + zq
+        _sorted_fused, sorted_id = jax.lax.sort_key_val(fused, splat_id)
+        sorted_key = _sorted_fused // (zq_max + 1)
     else:
-        sorted_key, sorted_id = jax.lax.sort((tile_key, splat_id), num_keys=1)
+        sorted_key, sorted_id = jax.lax.sort_key_val(tile_key, splat_id)
 
     n_pairs = p * rep
     starts = jnp.searchsorted(sorted_key, jnp.arange(n_tiles + 1, dtype=jnp.int32))
@@ -162,25 +181,34 @@ def bin_splats(
     )
     overflow = cap_overflow + jnp.sum(jnp.where(live & span_overflow, 1, 0))
 
-    # Gather per-candidate channels; sentinel for padding never accepts.
-    safe = jnp.maximum(tile_ids, 0)
-    pad = tile_ids < 0
-    chans = jnp.stack(
+    # Scatter per-candidate channels into the padded table: O(P·rep) rows
+    # written instead of O(n_tiles·M) gathered (most table slots are padding).
+    src = jnp.stack(
         [
-            jnp.where(pad, 2.0, px[safe]),
-            jnp.where(pad, 2.0, py[safe]),
-            jnp.where(pad, -1.0, pz[safe]),
-            jnp.where(pad, 0.0, ellipse[safe, 0]),
-            jnp.where(pad, 0.0, ellipse[safe, 1]),
-            jnp.where(pad, 0.0, ellipse[safe, 2]),
-            jnp.where(pad, -INF, cutoff[safe]),
-            jnp.where(pad, 0.0, rx[safe]),
-            jnp.where(pad, 0.0, ry[safe]),
+            px[sorted_id],
+            py[sorted_id],
+            pz[sorted_id],
+            ellipse[sorted_id, 0],
+            ellipse[sorted_id, 1],
+            ellipse[sorted_id, 2],
+            cutoff[sorted_id],
+            rx[sorted_id],
+            ry[sorted_id],
+            (scaler[sorted_id] if scaler is not None
+             else jnp.zeros_like(cutoff)[sorted_id]),
         ],
-        axis=1,
+        axis=-1,
+    )  # (n_pairs, C)
+    sentinel = jnp.array(
+        [2.0, 2.0, -1.0, 0.0, 0.0, 0.0, -INF, 0.0, 0.0, 0.0], jnp.float32
+    )
+    data = jnp.broadcast_to(sentinel, (n_tiles * bin_capacity + 1, N_CHANNELS))
+    data = data.at[flat].set(src.astype(jnp.float32))
+    chans = jnp.transpose(
+        data[:-1].reshape(n_tiles, bin_capacity, N_CHANNELS), (0, 2, 1)
     )  # (n_tiles, C, M)
     return BinnedSplats(
-        tile_data=chans.astype(jnp.float32),
+        tile_data=chans,
         tile_ids=tile_ids,
         tile_counts=counts,
         overflow=overflow,
@@ -193,11 +221,16 @@ def bin_splats(
 
 
 def _fwd_kernel(
+    counts_ref,  # (n_tiles,) SMEM scalar-prefetch: candidates per tile
     data_ref,  # (1, C, M) VMEM
+    dmt_ref,  # (1, 1) SMEM: depth merging threshold (inputs precede outputs)
     z_out,  # (1, K, TT)
     q_out,  # (1, K, TT)
     pos_out,  # (1, K, TT) f32 candidate position (−1 = empty)
     cnt_out,  # (1, 1, TT) accepted count
+    sc_out,  # (1, K, TT) per-fragment EWA scaler
+    vis_out,  # (1, 1, M) per-candidate visibility flag (slot < K AND survives
+    #           the depth-merge truncation, matching reference visibility)
     *,
     tile_size: int,
     image_size: int,
@@ -221,7 +254,9 @@ def _fwd_kernel(
     yf = 1.0 - (2.0 * row.astype(jnp.float32) + 1.0) * inv_s  # (TT, 1)
     xf = 1.0 - (2.0 * col.astype(jnp.float32) + 1.0) * inv_s  # (TT, 1)
 
-    n_chunks = m // chunk
+    # dynamic trip count: only sweep chunks that actually hold candidates
+    n_cand = jnp.minimum(counts_ref[g], m)
+    n_chunks = (n_cand + chunk - 1) // chunk
 
     # Inclusive prefix sums along the candidate axis via a lower-triangular
     # matmul on the MXU (cumsum has no Pallas TPU lowering; this is faster
@@ -231,7 +266,7 @@ def _fwd_kernel(
     tri = (row_j <= col_k).astype(jnp.float32)
 
     def body(i, carry):
-        fz, fq, fpos, cnt = carry
+        fz, fq, fpos, fsc, cnt = carry
         sl = pl.ds(i * chunk, chunk)
         px = data_ref[0, _CH_PX, sl][None, :]
         py = data_ref[0, _CH_PY, sl][None, :]
@@ -242,6 +277,7 @@ def _fwd_kernel(
         cut = data_ref[0, _CH_CUT, sl][None, :]
         rx = data_ref[0, _CH_RX, sl][None, :]
         ry = data_ref[0, _CH_RY, sl][None, :]
+        sc = data_ref[0, _CH_SC, sl][None, :]
 
         dx = xf - px  # (TT, CM)
         dy = yf - py
@@ -266,31 +302,47 @@ def _fwd_kernel(
         # fragment slot kk (static) gets exactly one accepted candidate per
         # pixel across the whole loop → accumulate rows of (K, TT).
         # (no scatter: Pallas TPU has no scatter-add lowering)
-        dz, dq, dp = [], [], []
+        dz, dq, dp, dsc = [], [], [], []
+        selfs = []
         for kk in range(k):
             self_f = accf * (slot == float(kk)).astype(jnp.float32)
+            selfs.append(self_f)
             dz.append(jnp.sum(zrow * self_f, axis=1))
             dq.append(jnp.sum(qrow * self_f, axis=1))
             dp.append(jnp.sum((jpos + 1.0) * self_f, axis=1))  # +1: 0 = empty
+            dsc.append(jnp.sum(sc * self_f, axis=1))
+        # depth-merge-aware win flag: rank 0's z for each pixel is final after
+        # this chunk's dz[0] lands (candidates are depth-sorted)
+        z0_now = fz[0] + dz[0]  # (TT,)
+        in_window = (zrow - z0_now[:, None]) <= dmt_ref[0, 0]
+        won = sum(selfs) * in_window.astype(jnp.float32)
         fz = fz + jnp.stack(dz, axis=0)
         fq = fq + jnp.stack(dq, axis=0)
         fpos = fpos + jnp.stack(dp, axis=0)
+        fsc = fsc + jnp.stack(dsc, axis=0)
         cnt = cnt + jnp.sum(accf, axis=1)
-        return fz, fq, fpos, cnt
+        # per-candidate visibility: won a fragment slot in any pixel
+        vis_out[0, 0, sl] = jnp.max(won, axis=0)
+        return fz, fq, fpos, fsc, cnt
+
+    # outputs written per-chunk must be cleared for the skipped chunks
+    vis_out[0, 0, :] = jnp.zeros((m,), jnp.float32)
 
     init = (
         jnp.zeros((k, tt), jnp.float32),
         jnp.zeros((k, tt), jnp.float32),
         jnp.zeros((k, tt), jnp.float32),
+        jnp.zeros((k, tt), jnp.float32),
         jnp.zeros((tt,), jnp.float32),
     )
-    fz, fq, fpos, cnt = jax.lax.fori_loop(0, n_chunks, body, init)
+    fz, fq, fpos, fsc, cnt = jax.lax.fori_loop(0, n_chunks, body, init)
 
     filled = fpos > 0.0
     z_out[0] = jnp.where(filled, fz, -1.0)
     q_out[0] = jnp.where(filled, fq, -1.0)
     pos_out[0] = fpos - 1.0  # −1 = empty
     cnt_out[0] = cnt[None, :]
+    sc_out[0] = fsc
 
 
 def rasterize_forward_pallas(
@@ -305,10 +357,15 @@ def rasterize_forward_pallas(
     bin_capacity: int = 512,
     chunk: int = 128,
     max_tiles_xy: int = 4,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    scaler: jnp.ndarray | None = None,
+    with_extras: bool = False,
+):
     """Forward rasterization (one view) via tile binning + Pallas fragment
     kernel.  Returns (idx, zbuf, qvalue, occupancy) with the same semantics as
-    dss_tpu.render.rasterizer._rasterize_rows."""
+    dss_tpu.render.rasterizer._rasterize_rows; with_extras additionally
+    returns (frag_scaler (S,S,K), visible (P,)) computed in-kernel — this
+    saves the big per-fragment gathers and the 1.3M-element visibility
+    segment_sum of the unfused path."""
     s = image_size
     t = tile_size
     assert s % t == 0, "image_size must be a multiple of tile_size"
@@ -320,6 +377,7 @@ def rasterize_forward_pallas(
     binned = bin_splats(
         pts, ellipse, cutoff, radii, s, t, bin_capacity,
         max_tiles_x=max_tiles_xy, max_tiles_y=max_tiles_xy,
+        scaler=scaler,
     )
 
     kern = functools.partial(
@@ -331,30 +389,43 @@ def rasterize_forward_pallas(
         chunk=chunk,
         m=bin_capacity,
     )
-    z_t, q_t, pos_t, cnt_t = pl.pallas_call(
-        kern,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(
                 (1, N_CHANNELS, bin_capacity),
-                lambda i: (i, 0, 0),
+                lambda i, counts: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, k, tt), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, tt), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, tt), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tt), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, tt), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, tt), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, tt), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tt), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, tt), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bin_capacity), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
+    )
+    z_t, q_t, pos_t, cnt_t, sc_t, vis_t = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, k, tt), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, k, tt), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, k, tt), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1, tt), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, k, tt), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, bin_capacity), jnp.float32),
         ],
         interpret=_interpret_mode(),
-    )(binned.tile_data)
+    )(
+        binned.tile_counts,
+        binned.tile_data,
+        jnp.asarray(depth_merging_threshold, jnp.float32).reshape(1, 1),
+    )
 
     # Un-tile to (S, S, K) image layout.
     def untile(x, ch):  # (n_tiles, ch, tt) → (S, S, ch)
@@ -382,7 +453,20 @@ def rasterize_forward_pallas(
     zbuf = jnp.where(keep, zbuf, -1.0)
     qv = jnp.where(keep, qv, -1.0)
     occ = (cnt > 0).astype(jnp.float32)
-    return idx, zbuf, qv, occ
+    if not with_extras:
+        return idx, zbuf, qv, occ
+
+    frag_scaler = jnp.where(keep, untile(sc_t, k), 0.0)
+    # candidate visibility flags → per-point via one small segment_max over
+    # (n_tiles·M) instead of a segment_sum over S·S·K fragments.
+    p = pts.shape[0]
+    ids = binned.tile_ids.reshape(-1)
+    seg = jnp.where(ids >= 0, ids, p)
+    vis = jax.ops.segment_max(
+        vis_t.reshape(-1), seg, num_segments=p + 1, indices_are_sorted=False
+    )
+    visible = jnp.nan_to_num(vis[:p], nan=0.0) > 0.0
+    return idx, zbuf, qv, occ, frag_scaler, visible
 
 
 # ---------------------------------------------------------------------------
@@ -391,6 +475,7 @@ def rasterize_forward_pallas(
 
 
 def _bwd_kernel(
+    counts_ref,  # (n_tiles,) SMEM scalar-prefetch: candidates per tile
     data_ref,  # (1, C, M): candidate channels (rx/ry = UNSCALED radii)
     grad_ref,  # (1, TT_pad, 1): per-pixel grad_occ for this tile
     misc_ref,  # (1, 1): cur_r² (SMEM scalar)
@@ -419,7 +504,10 @@ def _bwd_kernel(
     cur_r2 = misc_ref[0, 0]
     gpix = grad_ref[0, :tt, :]  # (TT, 1)
 
-    n_chunks = m // chunk
+    n_cand = jnp.minimum(counts_ref[g], m)
+    n_chunks = (n_cand + chunk - 1) // chunk
+    gx_out[0, 0, :] = jnp.zeros((m,), jnp.float32)
+    gy_out[0, 0, :] = jnp.zeros((m,), jnp.float32)
 
     def body(i, _):
         sl = pl.ds(i * chunk, chunk)
@@ -533,28 +621,33 @@ def occ_backward_pallas(
         chunk=chunk,
         m=bin_capacity,
     )
-    gx_t, gy_t = pl.pallas_call(
-        kern,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(
                 (1, N_CHANNELS, bin_capacity),
-                lambda i: (i, 0, 0),
+                lambda i, counts: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, tt, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tt, 1), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, bin_capacity), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bin_capacity), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bin_capacity), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bin_capacity), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
+    )
+    gx_t, gy_t = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, 1, bin_capacity), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1, bin_capacity), jnp.float32),
         ],
         interpret=_interpret_mode(),
-    )(tile_data, g_tiles, jnp.asarray(cur_r2, jnp.float32).reshape(1, 1))
+    )(binned.tile_counts, tile_data, g_tiles,
+      jnp.asarray(cur_r2, jnp.float32).reshape(1, 1))
 
     # Scatter per-(tile, candidate) partials back to points.
     ids = binned.tile_ids.reshape(-1)
@@ -581,35 +674,46 @@ def rasterize_points_pallas(
     radii: jnp.ndarray,
     depth_merging_threshold,
     radii_backward_scaler,
+    scaler=None,
 ):
     """Pallas-backed drop-in for rasterize_points (one view); same semantics,
-    gradients only to pts_screen (occupancy field + zbuf scatter)."""
+    gradients only to pts_screen (occupancy field + zbuf scatter).
+
+    Returns (idx, zbuf, qvalue, occupancy, frag_scaler, visible); the last two
+    are computed in-kernel (zeros / all-false when `scaler` is None they are
+    still returned, cheap).  frag_scaler and visible carry no gradients
+    (scaler is detached upstream, reference rasterizer.py:562-565).
+    """
     t, cap, chunk, mt = tile_config
     return rasterize_forward_pallas(
         pts_screen, ellipse_params, cutoff, radii,
         depth_merging_threshold, image_size, points_per_pixel,
         tile_size=t, bin_capacity=cap, chunk=chunk, max_tiles_xy=mt,
+        scaler=scaler, with_extras=True,
     )
 
 
 def _pallas_fwd(image_size, points_per_pixel, tile_config, pts_screen,
-                ellipse_params, cutoff, radii, dmt, radii_backward_scaler):
+                ellipse_params, cutoff, radii, dmt, radii_backward_scaler,
+                scaler=None):
     out = rasterize_points_pallas(
         image_size, points_per_pixel, tile_config,
         pts_screen, ellipse_params, cutoff, radii, dmt, radii_backward_scaler,
+        scaler,
     )
-    return out, (pts_screen, radii, out[0], radii_backward_scaler)
+    # residuals: idx for zbuf scatter, in-kernel visibility for the occ
+    # backward (avoids recomputing it from 1.3M fragment ids)
+    return out, (pts_screen, radii, out[0], out[5], radii_backward_scaler)
 
 
 def _pallas_bwd(image_size, points_per_pixel, tile_config, residuals, grads):
     from dss_tpu.render.rasterizer import _zbuf_backward, visible_points_mask
 
-    pts_screen, radii, idx, radii_backward_scaler = residuals
-    _, grad_zbuf, _grad_q, grad_occ = grads
+    pts_screen, radii, idx, visible, radii_backward_scaler = residuals
+    _, grad_zbuf, _grad_q, grad_occ, _grad_sc, _grad_vis = grads
     p = pts_screen.shape[0]
     t, cap, chunk, mt = tile_config
 
-    visible = visible_points_mask(idx, p)
     grad_xy = occ_backward_pallas(
         pts_screen, radii, visible, grad_occ, radii_backward_scaler,
         image_size, tile_size=t, bin_capacity=max(cap, 1024), chunk=chunk,
@@ -624,6 +728,7 @@ def _pallas_bwd(image_size, points_per_pixel, tile_config, residuals, grads):
         jnp.zeros_like(radii),
         jnp.zeros(()),
         jnp.zeros(()),
+        jnp.zeros((p,), pts_screen.dtype),
     )
 
 

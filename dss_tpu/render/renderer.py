@@ -70,10 +70,12 @@ def render_single_view(
     backend = settings.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "reference"
+    frag_scaler = None
+    visible = None
     if backend == "pallas":
         from dss_tpu.ops.splat_pallas import rasterize_points_pallas
 
-        idx, zbuf, qvalue, occ = rasterize_points_pallas(
+        idx, zbuf, qvalue, occ, frag_scaler, visible = rasterize_points_pallas(
             settings.image_size,
             settings.points_per_pixel,
             (
@@ -88,6 +90,7 @@ def render_single_view(
             splats.radii,
             settings.depth_merging_threshold,
             settings.radii_backward_scaler,
+            splats.scaler,
         )
     else:
         idx, zbuf, qvalue, occ = rasterize_points(
@@ -104,8 +107,10 @@ def render_single_view(
     fragments = Fragments(idx=idx, zbuf=zbuf, qvalue=qvalue, occupancy=occ)
 
     # 4. weights = exp(-0.5 Q) · scaler (renderer.py:53); per-fragment scaler
-    # gathered with negative-index guard (rasterizer.py:631-633).
-    frag_scaler = masked_gather(splats.scaler[:, None], idx)[..., 0]
+    # computed in-kernel on the pallas path, else gathered with the
+    # negative-index guard (rasterizer.py:631-633).
+    if frag_scaler is None:
+        frag_scaler = masked_gather(splats.scaler[:, None], idx)[..., 0]
     weights = jnp.exp(-0.5 * qvalue) * frag_scaler
 
     # 5. Composite to RGB; alpha = occupancy (renderer.py:57-78).
@@ -113,7 +118,8 @@ def render_single_view(
     rgb = compose(idx, weights, shaded)
     rgba = jnp.concatenate([rgb, occ[..., None]], axis=-1)
 
-    visible = visible_points_mask(idx, points.shape[0])
+    if visible is None:
+        visible = visible_points_mask(idx, points.shape[0])
     return rgba, fragments, visible
 
 

@@ -1,0 +1,49 @@
+"""Tests for MLS SDF + marching-tetrahedra surface reconstruction."""
+import jax.numpy as jnp
+import numpy as np
+
+from dss_tpu.geometry.meshing import (
+    generate_mesh_from_points,
+    marching_tetrahedra,
+    mls_signed_distance,
+)
+from tests.test_render import fibonacci_sphere
+
+
+def test_mls_signed_distance_sphere():
+    pts = jnp.asarray(fibonacci_sphere(2000, 1.0))
+    normals = pts
+    q = jnp.array([[0.0, 0.0, 0.5], [0.0, 0.0, 1.5], [1.0, 0.0, 0.0]])
+    f = mls_signed_distance(q, pts, normals)
+    assert float(f[0]) < -0.2  # inside
+    assert float(f[1]) > 0.2  # outside
+    assert abs(float(f[2])) < 0.05  # on surface
+
+
+def test_marching_tets_sphere_grid():
+    # analytic SDF grid of a radius-0.8 sphere
+    r = 48
+    lin = np.linspace(-1.2, 1.2, r)
+    g = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1)
+    sdf = np.linalg.norm(g, axis=-1) - 0.8
+    verts, faces = marching_tetrahedra(sdf, np.full(3, -1.2), np.full(3, 1.2))
+    assert len(verts) > 500 and len(faces) > 1000
+    radii = np.linalg.norm(verts, axis=-1)
+    np.testing.assert_allclose(radii, 0.8, atol=0.05)
+    assert faces.min() >= 0 and faces.max() < len(verts)
+    # surface area close to 4*pi*r^2 = 8.04
+    tri = verts[faces]
+    area = 0.5 * np.linalg.norm(
+        np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=-1
+    ).sum()
+    np.testing.assert_allclose(area, 4 * np.pi * 0.8**2, rtol=0.1)
+
+
+def test_generate_mesh_from_points():
+    pts = fibonacci_sphere(3000, 0.7)
+    normals = pts / np.linalg.norm(pts, axis=-1, keepdims=True)
+    verts, faces = generate_mesh_from_points(pts, normals, resolution=40)
+    assert len(verts) > 200 and len(faces) > 400
+    radii = np.linalg.norm(verts, axis=-1)
+    # reconstructed surface hugs the sphere
+    assert abs(float(np.median(radii)) - 0.7) < 0.08

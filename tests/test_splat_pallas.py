@@ -164,3 +164,47 @@ class TestBackwardParity:
             tile_size=16, bin_capacity=1024, chunk=128, max_tiles_xy=8,
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+class TestRendererBackendParity:
+    def test_end_to_end_backends_match(self):
+        """Full render (shading + rasterize + composite) must agree between
+        the reference and pallas backends, including gradients."""
+        import jax
+
+        from dss_tpu.render.renderer import render_single_view
+        from dss_tpu.render.lighting import DirectionalLights
+
+        pts = jnp.asarray(fibonacci_sphere(300, 0.5))
+        normals = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+        colors = jnp.broadcast_to(jnp.array([0.7, 0.4, 0.3]), pts.shape)
+        mask = jnp.ones((300,), bool)
+        r, t = look_at_view_transform(dist=2.0, elev=20.0, azim=50.0)
+        cam = FoVPerspectiveCameras.create(r, t, fov=60.0)
+        lights = DirectionalLights.create()
+
+        def run(backend):
+            st = RasterSettings(
+                image_size=32, points_per_pixel=5, backface_culling=True,
+                backend=backend, tile_size=16, bin_capacity=256,
+            )
+
+            def loss(p):
+                rgba, _, vis = render_single_view(
+                    p, normals, colors, mask, cam, lights, st
+                )
+                return jnp.mean((rgba - 0.2) ** 2), (rgba, vis)
+
+            (l, (rgba, vis)), g = jax.value_and_grad(loss, has_aux=True)(pts)
+            return l, rgba, vis, g
+
+        l_ref, rgba_ref, vis_ref, g_ref = run("reference")
+        l_pal, rgba_pal, vis_pal, g_pal = run("pallas")
+        np.testing.assert_allclose(float(l_ref), float(l_pal), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(rgba_ref), np.asarray(rgba_pal), atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(vis_ref), np.asarray(vis_pal))
+        np.testing.assert_allclose(
+            np.asarray(g_ref), np.asarray(g_pal), rtol=1e-3, atol=1e-4
+        )
