@@ -45,6 +45,9 @@ def main(argv=None):
     parser.add_argument("--platform", type=str, default=None,
                         help="force a jax platform (e.g. cpu, tpu); overrides "
                              "any site-pinned jax_platforms config")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="capture a jax.profiler trace of iterations "
+                             "10-15 into this directory")
     args = parser.parse_args(argv)
 
     if args.platform:
@@ -117,9 +120,15 @@ def main(argv=None):
             break
         for batch_idx in sampler.epoch():
             img, mask_img, cameras, lights = dataset.get_batch(batch_idx)
+            if args.profile_dir and it == 10:
+                jax.profiler.start_trace(args.profile_dir)
             state, metrics = train_step(
                 state, cameras, lights, jnp.asarray(img), jnp.asarray(mask_img)
             )
+            if args.profile_dir and it == 15:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                logger.info("profiler trace written to %s", args.profile_dir)
             it += 1
 
             if it % print_every == 0:

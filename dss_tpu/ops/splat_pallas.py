@@ -714,10 +714,13 @@ def _pallas_bwd(image_size, points_per_pixel, tile_config, residuals, grads):
     p = pts_screen.shape[0]
     t, cap, chunk, mt = tile_config
 
+    # support radius (scaled median) usually spans ≤ 2 extra tiles; the
+    # dynamic trip counts make unused capacity cheap but not free, so size
+    # the backward bins moderately above the forward's
     grad_xy = occ_backward_pallas(
         pts_screen, radii, visible, grad_occ, radii_backward_scaler,
-        image_size, tile_size=t, bin_capacity=max(cap, 1024), chunk=chunk,
-        max_tiles_xy=max(mt, 8),
+        image_size, tile_size=t, bin_capacity=max(cap, 512), chunk=chunk,
+        max_tiles_xy=max(mt + 2, 6),
     )
     grad_z = _zbuf_backward(idx, grad_zbuf, p)
     grad_pts = jnp.concatenate([grad_xy, grad_z[:, None]], axis=-1)

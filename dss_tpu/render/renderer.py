@@ -41,6 +41,7 @@ def render_single_view(
     shininess: float = 64.0,
     normalize_composite: bool = True,
     row_chunk: int = 8,
+    texture_fn=None,
 ) -> Tuple[jnp.ndarray, Fragments, jnp.ndarray]:
     """Render one view.
 
@@ -48,11 +49,16 @@ def render_single_view(
       points/normals: (P, 3); colors: (P, 3) albedo; mask: (P,) valid points.
       camera: single camera (batch dim 1); lights: one view's lights or None
         (None → raw albedo, no shading).
+      texture_fn: optional (points, normals, camera) → colors override (e.g.
+        a NeuralTexture from dss_tpu.render.texture) — takes precedence over
+        the lighting shading.
     Returns:
       rgba (S, S, 4), fragments, visible (P,) bool.
     """
-    # 1. Shading (LightingTexture, texture.py:74-127).
-    if lights is not None:
+    # 1. Shading (LightingTexture / NeuralTexture, texture.py:74-162).
+    if texture_fn is not None:
+        shaded = texture_fn(points, normals, camera)
+    elif lights is not None:
         shaded = shade_points(
             points, normals, colors, lights, camera.camera_position()[0], shininess
         )
@@ -75,12 +81,20 @@ def render_single_view(
     if backend == "pallas":
         from dss_tpu.ops.splat_pallas import rasterize_points_pallas
 
+        # Guard against candidate-table overflow: with few tiles (small
+        # images) every splat can land in every tile, so cap capacity at the
+        # padded point count (the reference similarly sizes bins by
+        # max(10000, P), rasterizer.py:732-733).
+        p_cap = -(-points.shape[0] // settings.bin_chunk) * settings.bin_chunk
+        n_tiles = (settings.image_size // settings.tile_size) ** 2
+        bin_capacity = min(p_cap, max(settings.bin_capacity, 4 * p_cap // max(n_tiles, 1)))
+
         idx, zbuf, qvalue, occ, frag_scaler, visible = rasterize_points_pallas(
             settings.image_size,
             settings.points_per_pixel,
             (
                 settings.tile_size,
-                settings.bin_capacity,
+                bin_capacity,
                 settings.bin_chunk,
                 settings.max_tiles_per_splat,
             ),
