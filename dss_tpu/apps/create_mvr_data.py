@@ -118,15 +118,14 @@ def main(argv=None):
 
     rng = np.random.default_rng(args.seed)
     mesh = read_ply(args.mesh)
-    if mesh.faces is None:
-        raise ValueError("mesh has no faces: " + args.mesh)
+    is_cloud = mesh.faces is None  # point-cloud input → splat-render the GT
     verts = mesh.points.astype(np.float64)
     # normalize to unit sphere (reference create_mvr_data_from_mesh.py:122-126)
     center = (verts.max(0) + verts.min(0)) / 2.0
     verts = verts - center
     verts = verts / np.linalg.norm(verts, axis=-1).max()
     verts = verts.astype(np.float32)
-    faces = mesh.faces
+    faces = mesh.faces if not is_cloud else None
 
     cams = sample_random_cameras(
         jax.random.PRNGKey(args.seed), args.num_cameras,
@@ -143,14 +142,43 @@ def main(argv=None):
     m44[:, 3, :3] = np.asarray(cams.T)
     m44[:, 3, 3] = 1.0
 
-    render = jax.jit(
-        lambda v, f, cam, lights: render_mesh_flat(
-            v, f, cam, lights, args.image_size
-        ),
-        static_argnums=(),
-    )
     verts_j = jnp.asarray(verts)
-    faces_j = jnp.asarray(faces)
+    if is_cloud:
+        # GT from splat rendering of the (dense) cloud itself — used when the
+        # reference workload ships only a point cloud (e.g. yoga6_out.ply)
+        from dss_tpu.geometry.normals import estimate_normals
+        from dss_tpu.render.ewa import RasterSettings
+        from dss_tpu.render.renderer import render_single_view
+
+        cloud_mask = jnp.ones((verts_j.shape[0],), bool)
+        if mesh.normals is not None:
+            cloud_normals = jnp.asarray(mesh.normals)
+        else:
+            cloud_normals = estimate_normals(
+                verts_j, cloud_mask, neighborhood_size=8, reference_normals=verts_j
+            )
+        cloud_colors = (
+            jnp.asarray(mesh.colors)
+            if mesh.colors is not None
+            else jnp.full_like(verts_j, 0.8)
+        )
+        st = RasterSettings(
+            image_size=args.image_size, points_per_pixel=5,
+            cutoff_threshold=1.0, Vrk_isotropic=True, backface_culling=True,
+        )
+        render = jax.jit(
+            lambda v, f, cam, lights: render_single_view(
+                v, cloud_normals, cloud_colors, cloud_mask, cam, lights, st
+            )[0]
+        )
+        faces_j = verts_j  # unused placeholder
+    else:
+        render = jax.jit(
+            lambda v, f, cam, lights: render_mesh_flat(
+                v, f, cam, lights, args.image_size
+            )
+        )
+        faces_j = jnp.asarray(faces)
 
     lights_type = "PointLights" if args.point_lights else "DirectionalLights"
     for i in range(args.num_cameras):
@@ -178,7 +206,16 @@ def main(argv=None):
         data["lights_%d" % i] = {k: v[None] for k, v in rig.items()}
         print("view %d/%d" % (i + 1, args.num_cameras))
 
-    pts, normals = sample_points_from_mesh(verts, faces, args.n_points, rng=rng)
+    if is_cloud:
+        sel = rng.choice(len(verts), size=min(args.n_points, len(verts)), replace=False)
+        pts = verts[sel]
+        normals = (
+            mesh.normals[sel].astype(np.float32)
+            if mesh.normals is not None
+            else np.asarray(cloud_normals)[sel]
+        )
+    else:
+        pts, normals = sample_points_from_mesh(verts, faces, args.n_points, rng=rng)
     data.update(
         camera_mat=m44,
         points=pts,
