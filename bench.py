@@ -28,6 +28,9 @@ BASELINE_MSPLATS_PER_S = 1.0
 
 
 def main():
+    from dss_tpu.utils.platform import setup_jax
+
+    setup_jax()
     import jax
     import jax.numpy as jnp
 

@@ -105,8 +105,9 @@ def main(argv=None):
 
     import jax
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    from dss_tpu.utils.platform import setup_jax
+
+    setup_jax(args.platform)
     import imageio.v2 as imageio
     import jax.numpy as jnp
 

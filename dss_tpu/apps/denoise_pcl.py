@@ -32,8 +32,9 @@ def main(argv=None):
 
     import jax
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    from dss_tpu.utils.platform import setup_jax
+
+    setup_jax(args.platform)
     import jax.numpy as jnp
 
     from dss_tpu.data.io import read_ply, save_ply

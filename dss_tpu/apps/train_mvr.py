@@ -50,8 +50,9 @@ def main(argv=None):
                              "10-15 into this directory")
     args = parser.parse_args(argv)
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    from dss_tpu.utils.platform import setup_jax
+
+    setup_jax(args.platform)
 
     t_start = time.time()
     cfg = config_mod.load_config(args.config)
