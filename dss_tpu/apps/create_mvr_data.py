@@ -167,9 +167,16 @@ def main(argv=None):
             image_size=args.image_size, points_per_pixel=5,
             cutoff_threshold=1.0, Vrk_isotropic=True, backface_culling=True,
         )
+        # cache the per-point kernel size once (the reference caches _Vrk_h,
+        # rasterizer.py:359-388) — keeps the per-view render program small
+        from dss_tpu.render.ewa import compute_vrk_h_isotropic
+
+        vrk_h = jax.jit(compute_vrk_h_isotropic)(verts_j, cloud_mask)
+        jax.block_until_ready(vrk_h)
         render = jax.jit(
             lambda v, f, cam, lights: render_single_view(
-                v, cloud_normals, cloud_colors, cloud_mask, cam, lights, st
+                v, cloud_normals, cloud_colors, cloud_mask, cam, lights, st,
+                vrk_h=vrk_h,
             )[0]
         )
         faces_j = verts_j  # unused placeholder

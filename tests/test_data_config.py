@@ -1,0 +1,154 @@
+"""Dataset + config system tests (hermetic: builds a tiny on-disk dataset)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dss_tpu import config as config_mod
+from dss_tpu.data.dataset import MVRDataset, ViewSampler
+from dss_tpu.geometry.cameras import FoVPerspectiveCameras, look_at_view_transform
+from dss_tpu.render.ewa import RasterSettings
+from dss_tpu.render.renderer import render_views
+from tests.test_render import fibonacci_sphere
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    import imageio.v2 as imageio
+
+    pts = jnp.asarray(fibonacci_sphere(400, 0.5))
+    normals = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+    colors = jnp.full_like(pts, 0.6)
+    mask = jnp.ones((400,), bool)
+    v = 4
+    r, t = look_at_view_transform(
+        dist=jnp.full((v,), 2.0),
+        elev=jnp.linspace(0, 30, v),
+        azim=jnp.linspace(0, 270, v),
+    )
+    cams = FoVPerspectiveCameras.create(r, t, fov=60.0)
+    st = RasterSettings(image_size=16, points_per_pixel=3)
+    rgba, _, _ = render_views(pts, normals, colors, mask, cams, None, st)
+    rgba = np.asarray(rgba)
+    os.makedirs(root / "image")
+    os.makedirs(root / "mask")
+    for i in range(v):
+        imageio.imwrite(
+            str(root / "image" / f"{i:03d}.png"),
+            (np.clip(rgba[i, ..., :3], 0, 1) * 255).astype(np.uint8),
+        )
+        imageio.imwrite(
+            str(root / "mask" / f"{i:03d}.png"),
+            (rgba[i, ..., 3] * 255).astype(np.uint8),
+        )
+    m44 = np.zeros((v, 4, 4), np.float32)
+    m44[:, :3, :3] = np.asarray(r)
+    m44[:, 3, :3] = np.asarray(t)
+    m44[:, 3, 3] = 1
+    np.savez(
+        str(root / "data_dict.npz"),
+        camera_mat=m44,
+        points=np.asarray(pts),
+        normals=np.asarray(normals),
+        colors=np.asarray(colors),
+        cameras_type="FoVPerspectiveCameras",
+        cameras_params={"fov": 60.0, "znear": 0.1, "zfar": 100.0},
+        lights_type="DirectionalLights",
+        **{
+            f"lights_{i}": {
+                "ambient_color": np.full((1, 1, 3), 0.5, np.float32),
+                "diffuse_color": np.full((1, 1, 3), 0.3, np.float32),
+                "specular_color": np.zeros((1, 1, 3), np.float32),
+                "direction": np.tile([[[0.0, 1.0, 0.0]]], (1, 1, 1)).astype(np.float32),
+            }
+            for i in range(v)
+        },
+    )
+    return str(root), np.asarray(rgba)
+
+
+class TestMVRDataset:
+    def test_load_and_batch(self, tiny_dataset):
+        root, rgba = tiny_dataset
+        ds = MVRDataset(root)
+        assert len(ds) == 4
+        assert ds.resolution == (16, 16)
+        np.testing.assert_allclose(
+            ds.images, np.clip(rgba[..., :3], 0, 1), atol=2 / 255
+        )
+        img, msk, cams, lights = ds.get_batch([2, 0])
+        assert img.shape == (2, 16, 16, 3)
+        assert msk.shape == (2, 16, 16)
+        assert cams.R.shape == (2, 3, 3)
+        assert lights is not None
+        assert lights.direction.shape == (2, 1, 3)
+        # camera decomposition round-trips
+        np.testing.assert_allclose(
+            np.asarray(cams.camera_position()[0]),
+            np.asarray(
+                MVRDataset(root).get_cameras([2]).camera_position()[0]
+            ),
+            atol=1e-5,
+        )
+
+    def test_native_and_imageio_paths_agree(self, tiny_dataset):
+        root, _ = tiny_dataset
+        a = MVRDataset(root, use_native_loader=True)
+        b = MVRDataset(root, use_native_loader=False)
+        np.testing.assert_allclose(a.images, b.images, atol=1e-6)
+        np.testing.assert_allclose(a.masks, b.masks, atol=1e-6)
+
+    def test_gt_pointclouds(self, tiny_dataset):
+        root, _ = tiny_dataset
+        pts, normals, colors = MVRDataset(root).get_pointclouds()
+        assert pts.shape == (400, 3) and normals.shape == (400, 3)
+
+
+class TestViewSampler:
+    def test_epoch_coverage(self):
+        s = ViewSampler(10, 2, seed=0)
+        idx = np.concatenate(list(s.epoch()))
+        assert sorted(idx.tolist()) == list(range(10))
+
+    def test_weighted(self):
+        w = np.zeros(10)
+        w[3] = 1.0
+        s = ViewSampler(10, 2, seed=0, weights=w)
+        idx = np.concatenate(list(s.epoch()))
+        assert set(idx.tolist()) == {3}
+
+
+class TestConfig:
+    def test_inherit_chain(self, tmp_path):
+        (tmp_path / "base.yml").write_text("name: base\ntraining:\n  batch_size: 4\n")
+        (tmp_path / "child.yml").write_text(
+            "inherit_from: base.yml\ntraining:\n  lambda_dr_proj: 0.5\n"
+        )
+        cfg = config_mod.load_config(str(tmp_path / "child.yml"))
+        assert cfg["name"] == "base"
+        assert cfg["training"]["batch_size"] == 4
+        assert cfg["training"]["lambda_dr_proj"] == 0.5
+        # defaults still merged underneath
+        assert cfg["renderer"]["raster_params"]["points_per_pixel"] == 5
+
+    def test_repo_configs_load(self):
+        cfg = config_mod.load_config("configs/dss.yml")
+        assert cfg["model"]["model_kwargs"]["n_points_per_cloud"] == 5000
+        st = config_mod.create_raster_settings(cfg)
+        assert st.Vrk_invariant and st.image_size == 512
+        sched = config_mod.create_anneal_schedule(cfg)
+        assert sched.steps_backward_radii == 200
+        tc = config_mod.create_train_config(cfg)
+        assert tc.lambda_proj == 0.01
+
+    def test_factories(self):
+        cfg = config_mod.load_config(None)
+        cfg["model"]["model_kwargs"]["n_points_per_cloud"] = 300
+        params, learn = config_mod.create_model_params(cfg)
+        assert params.points.shape == (300, 3)
+        assert learn["colors"] is False
+        opt = config_mod.create_optimizer(cfg, learn)
+        state = opt.init(params)  # optimizer tree builds
