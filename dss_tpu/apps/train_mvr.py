@@ -116,6 +116,7 @@ def main(argv=None):
     # Train loop -------------------------------------------------------------
     t_iter = time.time()
     stop = False
+    epoch = epoch_it
     for epoch in range(epoch_it, args.epochs):
         if stop:
             break
@@ -170,7 +171,7 @@ def main(argv=None):
                 break
 
     # Final artifacts ---------------------------------------------------------
-    ckpt.save(resume_name, state, epoch_it=args.epochs, it=it,
+    ckpt.save(resume_name, state, epoch_it=epoch, it=it,
               loss_val_best=metric_best)
     active = np.asarray(state.filters.activation)
     save_ply(
