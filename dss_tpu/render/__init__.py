@@ -19,3 +19,11 @@ __all__ = [
     "render_single_view",
     "render_views",
 ]
+from dss_tpu.render.texture import make_lighting_texture, make_neural_texture
+from dss_tpu.render.mesh_raster import rasterize_mesh, render_mesh_flat
+__all__ += [
+    "make_lighting_texture",
+    "make_neural_texture",
+    "rasterize_mesh",
+    "render_mesh_flat",
+]

@@ -8,11 +8,11 @@ drive the learn_image_filter workflow: optimize point positions so rendered
 images match filtered renders.
 
 TPU-first: box/guided/L0 are pure jnp (fft2/cumsum — jit and grad-able, so
-the *filtered target* can even be produced inside the training jit).  SLIC
-stays a host-side call into skimage (it is data-dependent clustering; the
-reference also calls skimage).  The guided filter solves the 3×3 per-pixel
-systems batched with jnp.linalg.solve instead of the reference's Python
-double loop (gf:87-97).
+the *filtered target* can even be produced inside the training jit).  SLIC is
+a native numpy implementation (host-side, data-dependent clustering; skimage
+is unavailable in this environment).  The guided filter solves the 3×3
+per-pixel systems batched with jnp.linalg.solve instead of the reference's
+Python double loop (gf:87-97).
 """
 from __future__ import annotations
 
@@ -107,14 +107,66 @@ def l0_smooth(img: jnp.ndarray, lmd: float = 0.05, num_iter: int = 40) -> jnp.nd
     return s if img.ndim == 3 else s[..., 0]
 
 
-def superpixel(img: np.ndarray, compactness: float = 20.0, n_segments: int = 150) -> np.ndarray:
-    """SLIC superpixel quantization → per-segment mean color (host-side
-    skimage, like the reference SuperPixel, imageFilters.py:110-131)."""
-    import skimage.color
-    import skimage.segmentation
+def slic_segments(
+    img: np.ndarray,
+    n_segments: int = 150,
+    compactness: float = 20.0,
+    n_iter: int = 5,
+) -> np.ndarray:
+    """Native SLIC superpixels (Achanta et al. 2012): local k-means in
+    (color, xy) space with distance D = d_color + (m/S)·d_xy.  numpy
+    implementation (skimage is not available in this environment; the
+    reference calls skimage.segmentation.slic, imageFilters.py:110-131).
+    Returns (H, W) int labels."""
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, c = img.shape
+    s = max(int(np.sqrt(h * w / n_segments)), 1)
+    ys = np.arange(s // 2, h, s)
+    xs = np.arange(s // 2, w, s)
+    cy, cx = np.meshgrid(ys, xs, indexing="ij")
+    cy = cy.reshape(-1).astype(np.float32)
+    cx = cx.reshape(-1).astype(np.float32)
+    k = len(cy)
+    ccol = img[cy.astype(int), cx.astype(int)]  # (K, C)
 
-    img = np.asarray(img)
-    segs = skimage.segmentation.slic(
-        img, compactness=compactness, n_segments=n_segments, enforce_connectivity=False
-    )
-    return skimage.color.label2rgb(segs, img, kind="avg").astype(np.float32)
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    labels = np.zeros((h, w), np.int32)
+    inv_s2 = (compactness / s) ** 2
+
+    for _ in range(n_iter):
+        best = np.full((h, w), np.inf, np.float32)
+        for ki in range(k):
+            y0 = max(int(cy[ki]) - 2 * s, 0)
+            y1 = min(int(cy[ki]) + 2 * s, h)
+            x0 = max(int(cx[ki]) - 2 * s, 0)
+            x1 = min(int(cx[ki]) + 2 * s, w)
+            patch = img[y0:y1, x0:x1]
+            d_col = np.sum((patch - ccol[ki]) ** 2, axis=-1)
+            d_xy = (yy[y0:y1, x0:x1] - cy[ki]) ** 2 + (xx[y0:y1, x0:x1] - cx[ki]) ** 2
+            d = d_col + inv_s2 * d_xy
+            better = d < best[y0:y1, x0:x1]
+            best[y0:y1, x0:x1] = np.where(better, d, best[y0:y1, x0:x1])
+            labels[y0:y1, x0:x1] = np.where(better, ki, labels[y0:y1, x0:x1])
+        # update centers
+        for ki in range(k):
+            m = labels == ki
+            if m.any():
+                cy[ki] = yy[m].mean()
+                cx[ki] = xx[m].mean()
+                ccol[ki] = img[m].mean(axis=0)
+    return labels
+
+
+def superpixel(img: np.ndarray, compactness: float = 20.0, n_segments: int = 150) -> np.ndarray:
+    """SLIC superpixel quantization → per-segment mean color (reference
+    SuperPixel, imageFilters.py:110-131; label2rgb kind='avg')."""
+    img = np.asarray(img, np.float32)
+    labels = slic_segments(img, n_segments=n_segments, compactness=compactness)
+    out = np.zeros_like(img)
+    for ki in np.unique(labels):
+        m = labels == ki
+        out[m] = img[m].mean(axis=0)
+    return out.astype(np.float32)

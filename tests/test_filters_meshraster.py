@@ -129,3 +129,19 @@ class TestVisualize:
         imgs = np.random.default_rng(2).uniform(0, 1, (3, 16, 16, 3))
         p2 = save_image_grid(imgs, str(tmp_path / "grid.png"))
         assert os.path.getsize(p2) > 1000
+
+
+class TestSlic:
+    def test_superpixel_quantizes_and_keeps_edges(self):
+        rng = np.random.default_rng(0)
+        img = np.zeros((48, 48, 3), np.float32)
+        img[:, 24:] = [0.9, 0.1, 0.1]
+        img[:, :24] = [0.1, 0.1, 0.9]
+        img += rng.normal(0, 0.05, img.shape).astype(np.float32)
+        from dss_tpu.utils.image_filters import slic_segments, superpixel
+
+        out = superpixel(img, n_segments=16)
+        assert out[:, :20].std(0).mean() < img[:, :20].std(0).mean() * 0.5
+        assert float(out[:, 40:, 0].mean() - out[:, :8, 0].mean()) > 0.6
+        labels = slic_segments(img, 16)
+        assert 8 <= len(np.unique(labels)) <= 16
