@@ -235,7 +235,18 @@ def prepare_splats(
     if settings.backface_culling:
         render_mask = render_mask & backface_mask(normals, camera)
 
-    pts_screen = camera.transform_points_screen(points)[0]  # (P, 3)
+    # Depth-culled points carry no gradient (the reference deletes them,
+    # rasterizer.py:183-217).  The double-where trick kills the 0·∞=NaN path:
+    # a point near the camera plane (t→0) has an unbounded d(ndc)/d(point);
+    # its rasterizer cotangent is zero, but 0 × inf = NaN would poison the
+    # whole gradient, so the projection must never SEE the unsafe point —
+    # culled points are substituted by a dummy at view depth 1 before the
+    # transform.
+    dummy = jax.lax.stop_gradient(
+        camera.camera_position()[0] + camera.R[0][:, 2]
+    )
+    safe_points = jnp.where(depth_ok[:, None], points, dummy[None, :])
+    pts_screen = camera.transform_points_screen(safe_points)[0]  # (P, 3)
 
     def _detached():
         mk = compute_wjk(points, camera)  # (P, 3, 2)

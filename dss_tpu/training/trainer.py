@@ -211,16 +211,31 @@ def make_train_step(
             mask_img,
             state.step,
         )
-        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        # NaN guard (reference check_weights, utils/__init__.py:51-65).
+        # NaN guard (reference check_weights, utils/__init__.py:51-65): a
+        # non-finite gradient skips the whole update — params AND optimizer
+        # state (otherwise the Adam moments absorb the NaN and every later
+        # step is poisoned).
         finite = jnp.all(
             jnp.array(
-                [jnp.all(jnp.isfinite(x)) for x in jax.tree_util.tree_leaves(new_params)]
+                [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]
             )
         )
+        safe_grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
+        updates, new_opt = optimizer.update(safe_grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
         new_params = jax.tree_util.tree_map(
             lambda new, old: jnp.where(finite, new, old), new_params, state.params
+        )
+        new_opt = jax.tree_util.tree_map(
+            lambda new, old: (
+                jnp.where(finite, new, old)
+                if isinstance(new, jnp.ndarray) and new.shape == getattr(old, "shape", None)
+                else new
+            ),
+            new_opt,
+            state.opt_state,
         )
         new_state = state.replace(
             params=new_params,

@@ -342,3 +342,22 @@ class TestGoldenRender:
         rgba, _, _ = render_single_view(pts, normals, colors, mask, cam, lights, st)
         rmse = float(jnp.sqrt(jnp.mean((rgba - golden) ** 2)))
         assert rmse <= 1e-3, f"{backend} render RMSE vs golden: {rmse}"
+
+
+def test_no_nan_gradient_with_point_at_camera_plane(sphere_scene):
+    """A point at view depth ≈ 0 (unbounded projection Jacobian) must not
+    poison the gradient: culled points are substituted before the transform
+    (0 × inf = NaN regression, observed at yoga6 step ~60)."""
+    pts, normals, colors, mask, cam = sphere_scene
+    campos = cam.camera_position()[0]
+    # place one point exactly at the camera (t = 0) and one slightly behind
+    pts = pts.at[0].set(campos).at[1].set(campos - 0.01 * cam.R[0][:, 2])
+    st = RasterSettings(image_size=32, points_per_pixel=3)
+
+    def loss(p):
+        rgba, _, _ = render_single_view(p, normals, colors, mask, cam, None, st)
+        return jnp.mean((rgba - 0.5) ** 2)
+
+    g = jax.grad(loss)(pts)
+    assert bool(jnp.all(jnp.isfinite(g))), "NaN/inf gradient leaked from culled points"
+    np.testing.assert_allclose(np.asarray(g[:2]), 0.0)  # culled → no gradient
