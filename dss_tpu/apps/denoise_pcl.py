@@ -66,9 +66,12 @@ def main(argv=None):
         normals = denoise_normals_bilateral(
             pts, normals, mask, args.sharpness_sigma, args.neighborhood_size
         )
+        # moderate neighborhood + few projection steps with more robust
+        # reweighting measured best on the armadillo benchmark (large
+        # neighborhoods over-smooth fine detail)
         pts = project_to_latent_surface(
-            pts, normals, mask, neighborhood_size=min(31, p - 1),
-            max_proj_iters=5, max_est_iter=3,
+            pts, normals, mask, neighborhood_size=min(15, p - 1),
+            max_proj_iters=1, max_est_iter=5,
         )
         pts = resample_uniformly(
             pts, mask, normals=normals, neighborhood_size=8,
