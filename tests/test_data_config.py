@@ -152,3 +152,27 @@ class TestConfig:
         assert learn["colors"] is False
         opt = config_mod.create_optimizer(cfg, learn)
         state = opt.init(params)  # optimizer tree builds
+
+
+class TestDTUDataset:
+    def test_dtu_camera_convention(self, tiny_dataset, tmp_path):
+        """DTU variant reads cameras.npz world/scale mats:
+        camera_mat = (scale.T @ world.T) per view (reference dataset.py:359)."""
+        import shutil
+
+        root, _ = tiny_dataset
+        dst = tmp_path / "dtu"
+        shutil.copytree(root, dst)
+        dd = np.load(str(dst / "data_dict.npz"), allow_pickle=True)
+        m44 = dd["camera_mat"]
+        # world_mat = camera_mat.T (so scale=I reproduces the same matrices)
+        np.savez(
+            str(dst / "cameras.npz"),
+            **{f"world_mat_{i}": m44[i].T for i in range(len(m44))},
+            **{f"scale_mat_{i}": np.eye(4, dtype=np.float32) for i in range(len(m44))},
+        )
+        from dss_tpu.data.dataset import DTUDataset, MVRDataset
+
+        dtu = DTUDataset(str(dst))
+        mvr = MVRDataset(root)
+        np.testing.assert_allclose(dtu.camera_mat, mvr.camera_mat, atol=1e-6)
