@@ -10,10 +10,8 @@ Usage: python train_mvr.py --config configs/dss.yml
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import time
-from collections import defaultdict
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +20,6 @@ import numpy as np
 from dss_tpu import config as config_mod
 from dss_tpu.data.dataset import ViewSampler
 from dss_tpu.data.io import save_ply
-from dss_tpu.models.point_model import PointModelParams
 from dss_tpu.training.checkpoint import CheckpointIO
 from dss_tpu.training.trainer import (
     chamfer_distance,

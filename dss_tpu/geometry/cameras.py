@@ -16,7 +16,7 @@ Everything is a pure function of a pytree dataclass -> jit/vmap/pjit friendly.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ import os
 from typing import Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from dss_tpu.data.io import save_ply

@@ -707,7 +707,7 @@ def _pallas_fwd(image_size, points_per_pixel, tile_config, pts_screen,
 
 
 def _pallas_bwd(image_size, points_per_pixel, tile_config, residuals, grads):
-    from dss_tpu.render.rasterizer import _zbuf_backward, visible_points_mask
+    from dss_tpu.render.rasterizer import _zbuf_backward
 
     pts_screen, radii, idx, visible, radii_backward_scaler = residuals
     _, grad_zbuf, _grad_q, grad_occ, _grad_sc, _grad_vis = grads

@@ -9,7 +9,6 @@ conventions as the splat rasterizer.  Offline tool — simplicity over speed
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

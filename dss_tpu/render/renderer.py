@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from dss_tpu.geometry.cameras import FoVPerspectiveCameras
 from dss_tpu.geometry.knn import masked_gather
 from dss_tpu.render.compositor import norm_weighted_sum, weighted_sum
-from dss_tpu.render.ewa import RasterSettings, SplatInfo, prepare_splats
+from dss_tpu.render.ewa import RasterSettings, prepare_splats
 from dss_tpu.render.lighting import Lights, shade_points
 from dss_tpu.render.rasterizer import (
     Fragments,

@@ -16,19 +16,17 @@ TPU-first differences:
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, NamedTuple, Optional, Sequence, Tuple
+from typing import Callable, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
 
-from dss_tpu.geometry.cameras import FoVPerspectiveCameras
 from dss_tpu.geometry.knn import knn_points, masked_gather
 from dss_tpu.geometry.pointclouds import PointFilters
 from dss_tpu.models.point_model import PointModelParams, point_model_forward
 from dss_tpu.render.ewa import RasterSettings
-from dss_tpu.render.lighting import Lights
 from dss_tpu.training.losses import (
     build_knn,
     dr_loss,

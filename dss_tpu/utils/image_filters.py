@@ -17,7 +17,6 @@ Python double loop (gf:87-97).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
