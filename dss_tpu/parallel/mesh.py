@@ -69,3 +69,37 @@ def make_sharded_train_step(train_step, mesh: Mesh, axis: str = "views"):
         return train_step(state, cameras, lights, img, mask_img)
 
     return step
+
+
+def render_view_row_sharded(
+    points, normals, colors, mask, camera, lights, settings, mesh: Mesh,
+    axis: str = "views",
+):
+    """Single-view render with the IMAGE ROWS sharded over the mesh — the
+    workload's "sequence parallelism" analogue (SURVEY §5): one huge view is
+    split across chips instead of the view batch.  Points are replicated
+    (they are tiny); each device rasterizes its row slab; GSPMD partitions
+    the row-chunked reference rasterizer along the pixel axis.
+    """
+    from dss_tpu.render.renderer import render_single_view
+
+    n_dev = mesh.shape[axis]
+    assert settings.image_size % n_dev == 0
+
+    def run(pts, nrm, col, msk):
+        rgba, frags, visible = render_single_view(
+            pts, nrm, col, msk, camera, lights,
+            settings.replace(backend="reference"),
+            row_chunk=settings.image_size // n_dev,
+        )
+        rgba = jax.lax.with_sharding_constraint(
+            rgba, NamedSharding(mesh, P(axis, None, None))
+        )
+        return rgba, visible
+
+    jitted = jax.jit(
+        run,
+        in_shardings=(NamedSharding(mesh, P()),) * 4,
+        out_shardings=(NamedSharding(mesh, P(axis, None, None)), NamedSharding(mesh, P())),
+    )
+    return jitted(points, normals, colors, mask)

@@ -128,3 +128,30 @@ class TestMultiScene:
         mesh = make_mesh(1)  # single-device mesh placement sanity
         rgba2, _ = jax.jit(jax.vmap(render_scene))(scenes, normals, colors, mask)
         np.testing.assert_allclose(np.asarray(rgba), np.asarray(rgba2), atol=1e-5)
+
+
+class TestRowSharding:
+    def test_row_sharded_render_matches(self, eight_devices):
+        """Pixel-axis sharding: one view's rows split over 8 devices must
+        reproduce the single-device render exactly."""
+        import jax
+
+        from dss_tpu.parallel.mesh import make_mesh, render_view_row_sharded
+        from dss_tpu.render.ewa import RasterSettings
+        from dss_tpu.render.renderer import render_single_view
+
+        pts = jnp.asarray(fibonacci_sphere(300, 0.5))
+        normals = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+        colors = jnp.full_like(pts, 0.6)
+        mask = jnp.ones((300,), bool)
+        r, t = look_at_view_transform(dist=2.0, elev=10.0, azim=30.0)
+        cam = FoVPerspectiveCameras.create(r, t, fov=60.0)
+        st = RasterSettings(image_size=32, points_per_pixel=3, backend="reference")
+
+        ref, _, _ = render_single_view(pts, normals, colors, mask, cam, None, st)
+        mesh = make_mesh(8)
+        rgba, visible = render_view_row_sharded(
+            pts, normals, colors, mask, cam, None, st, mesh
+        )
+        assert len(rgba.sharding.device_set) == 8
+        np.testing.assert_allclose(np.asarray(rgba), np.asarray(ref), atol=1e-5)
