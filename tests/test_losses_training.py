@@ -203,3 +203,47 @@ class TestModelAndTrainStep:
         assert float(psnr(a, a)) > 100
         b = jnp.zeros((4, 4, 3))
         np.testing.assert_allclose(psnr(a, b), -10 * np.log10(0.25), atol=1e-3)
+
+
+class TestConvergence:
+    def test_toy_inverse_rendering_converges(self):
+        """End-to-end sanity: optimizing an offset sphere toward rendered
+        targets of the true sphere must reduce the loss substantially."""
+        gt_pts = jnp.asarray(fibonacci_sphere(300, 0.5))
+        gt_n = gt_pts / jnp.linalg.norm(gt_pts, axis=-1, keepdims=True)
+        colors = jnp.full_like(gt_pts, 0.6)
+        mask = jnp.ones((300,), bool)
+        r, t = look_at_view_transform(
+            dist=jnp.full((4,), 2.0),
+            elev=jnp.array([0.0, 20.0, -20.0, 10.0]),
+            azim=jnp.array([0.0, 90.0, 180.0, 270.0]),
+        )
+        cams = FoVPerspectiveCameras.create(r, t, fov=60.0)
+        settings = RasterSettings(image_size=24, points_per_pixel=3)
+
+        from dss_tpu.models.point_model import point_model_forward
+
+        gt_params = PointModelParams.create(gt_pts, gt_n, colors)
+        filters0 = PointFilters.ones(300)
+        out_gt, _ = point_model_forward(gt_params, filters0, cams, None, settings)
+        img = out_gt["img_pred"]
+        mask_img = out_gt["mask_img_pred"]
+
+        # init: sphere offset by 0.25
+        init = PointModelParams.create(gt_pts + jnp.array([0.25, 0.1, 0.0]), gt_n, colors)
+        optimizer = make_optimizer(lr_points=0.02, lr_normals=0.01, lr_colors=0.0)
+        state = create_train_state(init, optimizer)
+        step = make_train_step(
+            optimizer, settings, TrainConfig(lambda_proj=0.01, lambda_repel=0.01),
+            AnnealSchedule(init_backward_radii=5.0, steps_backward_radii=-1),
+        )
+        losses = []
+        for _ in range(40):
+            state, metrics = step(state, cams, None, img, mask_img)
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0] * 0.7, f"no convergence: {losses[0]} -> {losses[-1]}"
+        # the cloud moved toward the target (center offset shrinks)
+        off0 = 0.269  # |(0.25, 0.1, 0)|
+        off1 = float(jnp.linalg.norm(jnp.mean(state.params.points, 0) - jnp.mean(gt_pts, 0)))
+        assert off1 < off0 * 0.7, f"center offset did not shrink: {off1}"
