@@ -49,8 +49,8 @@ INF = jnp.inf
 
 # Channel layout of the per-candidate data passed to the kernels.
 (_CH_PX, _CH_PY, _CH_PZ, _CH_A, _CH_B, _CH_C, _CH_CUT, _CH_RX, _CH_RY,
- _CH_SC) = range(10)
-N_CHANNELS = 10
+ _CH_SC, _CH_R, _CH_G, _CH_B2) = range(13)
+N_CHANNELS = 13
 
 
 def _interpret_mode() -> bool:
@@ -88,6 +88,7 @@ def bin_splats(
     extra_radius: jnp.ndarray | float = 0.0,
     sort_by_depth: bool = True,
     scaler: jnp.ndarray | None = None,
+    features: jnp.ndarray | None = None,
 ) -> BinnedSplats:
     """Build the per-tile candidate table.
 
@@ -196,11 +197,18 @@ def bin_splats(
             ry[sorted_id],
             (scaler[sorted_id] if scaler is not None
              else jnp.zeros_like(cutoff)[sorted_id]),
+            (features[sorted_id, 0] if features is not None
+             else jnp.zeros_like(cutoff)[sorted_id]),
+            (features[sorted_id, 1] if features is not None
+             else jnp.zeros_like(cutoff)[sorted_id]),
+            (features[sorted_id, 2] if features is not None
+             else jnp.zeros_like(cutoff)[sorted_id]),
         ],
         axis=-1,
     )  # (n_pairs, C)
     sentinel = jnp.array(
-        [2.0, 2.0, -1.0, 0.0, 0.0, 0.0, -INF, 0.0, 0.0, 0.0], jnp.float32
+        [2.0, 2.0, -1.0, 0.0, 0.0, 0.0, -INF, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        jnp.float32,
     )
     data = jnp.broadcast_to(sentinel, (n_tiles * bin_capacity + 1, N_CHANNELS))
     data = data.at[flat].set(src.astype(jnp.float32))
@@ -231,6 +239,7 @@ def _fwd_kernel(
     sc_out,  # (1, K, TT) per-fragment EWA scaler
     vis_out,  # (1, 1, M) per-candidate visibility flag (slot < K AND survives
     #           the depth-merge truncation, matching reference visibility)
+    rgb_out,  # (1, 4, TT): weighted rgb sums + weight sum (fused compositing)
     *,
     tile_size: int,
     image_size: int,
@@ -266,7 +275,7 @@ def _fwd_kernel(
     tri = (row_j <= col_k).astype(jnp.float32)
 
     def body(i, carry):
-        fz, fq, fpos, fsc, cnt = carry
+        fz, fq, fpos, fsc, frgb, cnt = carry
         sl = pl.ds(i * chunk, chunk)
         px = data_ref[0, _CH_PX, sl][None, :]
         py = data_ref[0, _CH_PY, sl][None, :]
@@ -278,6 +287,9 @@ def _fwd_kernel(
         rx = data_ref[0, _CH_RX, sl][None, :]
         ry = data_ref[0, _CH_RY, sl][None, :]
         sc = data_ref[0, _CH_SC, sl][None, :]
+        cr = data_ref[0, _CH_R, sl][None, :]
+        cg = data_ref[0, _CH_G, sl][None, :]
+        cb = data_ref[0, _CH_B2, sl][None, :]
 
         dx = xf - px  # (TT, CM)
         dy = yf - py
@@ -302,7 +314,7 @@ def _fwd_kernel(
         # fragment slot kk (static) gets exactly one accepted candidate per
         # pixel across the whole loop → accumulate rows of (K, TT).
         # (no scatter: Pallas TPU has no scatter-add lowering)
-        dz, dq, dp, dsc = [], [], [], []
+        dz, dq, dp, dsc, dr, dg, db = [], [], [], [], [], [], []
         selfs = []
         for kk in range(k):
             self_f = accf * (slot == float(kk)).astype(jnp.float32)
@@ -311,6 +323,9 @@ def _fwd_kernel(
             dq.append(jnp.sum(qrow * self_f, axis=1))
             dp.append(jnp.sum((jpos + 1.0) * self_f, axis=1))  # +1: 0 = empty
             dsc.append(jnp.sum(sc * self_f, axis=1))
+            dr.append(jnp.sum(cr * self_f, axis=1))
+            dg.append(jnp.sum(cg * self_f, axis=1))
+            db.append(jnp.sum(cb * self_f, axis=1))
         # depth-merge-aware win flag: rank 0's z for each pixel is final after
         # this chunk's dz[0] lands (candidates are depth-sorted)
         z0_now = fz[0] + dz[0]  # (TT,)
@@ -320,10 +335,11 @@ def _fwd_kernel(
         fq = fq + jnp.stack(dq, axis=0)
         fpos = fpos + jnp.stack(dp, axis=0)
         fsc = fsc + jnp.stack(dsc, axis=0)
+        frgb = frgb + jnp.stack(dr + dg + db, axis=0)  # (3K, TT)
         cnt = cnt + jnp.sum(accf, axis=1)
         # per-candidate visibility: won a fragment slot in any pixel
         vis_out[0, 0, sl] = jnp.max(won, axis=0)
-        return fz, fq, fpos, fsc, cnt
+        return fz, fq, fpos, fsc, frgb, cnt
 
     # outputs written per-chunk must be cleared for the skipped chunks
     vis_out[0, 0, :] = jnp.zeros((m,), jnp.float32)
@@ -333,9 +349,10 @@ def _fwd_kernel(
         jnp.zeros((k, tt), jnp.float32),
         jnp.zeros((k, tt), jnp.float32),
         jnp.zeros((k, tt), jnp.float32),
+        jnp.zeros((3 * k, tt), jnp.float32),
         jnp.zeros((tt,), jnp.float32),
     )
-    fz, fq, fpos, fsc, cnt = jax.lax.fori_loop(0, n_chunks, body, init)
+    fz, fq, fpos, fsc, frgb, cnt = jax.lax.fori_loop(0, n_chunks, body, init)
 
     filled = fpos > 0.0
     z_out[0] = jnp.where(filled, fz, -1.0)
@@ -343,6 +360,16 @@ def _fwd_kernel(
     pos_out[0] = fpos - 1.0  # −1 = empty
     cnt_out[0] = cnt[None, :]
     sc_out[0] = fsc
+
+    # fused compositing: weights = exp(-Q/2)·scaler over depth-merge
+    # survivors; emit weighted rgb sums + the weight sum (the norm division
+    # happens outside so its autodiff stays standard)
+    keep = (filled & ((fz - fz[0:1]) <= dmt_ref[0, 0])).astype(jnp.float32)
+    w = jnp.exp(-0.5 * fq) * fsc * keep  # (K, TT)
+    rgb_out[0, 0, :] = jnp.sum(w * frgb[0:k], axis=0)
+    rgb_out[0, 1, :] = jnp.sum(w * frgb[k:2 * k], axis=0)
+    rgb_out[0, 2, :] = jnp.sum(w * frgb[2 * k:3 * k], axis=0)
+    rgb_out[0, 3, :] = jnp.sum(w, axis=0)
 
 
 def rasterize_forward_pallas(
@@ -359,6 +386,7 @@ def rasterize_forward_pallas(
     max_tiles_xy: int = 4,
     scaler: jnp.ndarray | None = None,
     with_extras: bool = False,
+    features: jnp.ndarray | None = None,
 ):
     """Forward rasterization (one view) via tile binning + Pallas fragment
     kernel.  Returns (idx, zbuf, qvalue, occupancy) with the same semantics as
@@ -377,7 +405,7 @@ def rasterize_forward_pallas(
     binned = bin_splats(
         pts, ellipse, cutoff, radii, s, t, bin_capacity,
         max_tiles_x=max_tiles_xy, max_tiles_y=max_tiles_xy,
-        scaler=scaler,
+        scaler=scaler, features=features,
     )
 
     kern = functools.partial(
@@ -407,9 +435,10 @@ def rasterize_forward_pallas(
             pl.BlockSpec((1, 1, tt), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k, tt), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bin_capacity), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, tt), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
     )
-    z_t, q_t, pos_t, cnt_t, sc_t, vis_t = pl.pallas_call(
+    z_t, q_t, pos_t, cnt_t, sc_t, vis_t, rgb_t = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
@@ -419,6 +448,7 @@ def rasterize_forward_pallas(
             jax.ShapeDtypeStruct((n_tiles, 1, tt), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, k, tt), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1, bin_capacity), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 4, tt), jnp.float32),
         ],
         interpret=_interpret_mode(),
     )(
@@ -466,7 +496,8 @@ def rasterize_forward_pallas(
         vis_t.reshape(-1), seg, num_segments=p + 1, indices_are_sorted=False
     )
     visible = jnp.nan_to_num(vis[:p], nan=0.0) > 0.0
-    return idx, zbuf, qv, occ, frag_scaler, visible
+    rgbw = untile(rgb_t, 4)  # (S, S, 4): weighted rgb sums + weight sum
+    return idx, zbuf, qv, occ, frag_scaler, visible, rgbw
 
 
 # ---------------------------------------------------------------------------
@@ -675,42 +706,47 @@ def rasterize_points_pallas(
     depth_merging_threshold,
     radii_backward_scaler,
     scaler=None,
+    features=None,
 ):
     """Pallas-backed drop-in for rasterize_points (one view); same semantics,
-    gradients only to pts_screen (occupancy field + zbuf scatter).
+    gradients only to pts_screen (occupancy field + zbuf scatter) and, when
+    `features` is given, to features through the fused composite.
 
-    Returns (idx, zbuf, qvalue, occupancy, frag_scaler, visible); the last two
-    are computed in-kernel (zeros / all-false when `scaler` is None they are
-    still returned, cheap).  frag_scaler and visible carry no gradients
-    (scaler is detached upstream, reference rasterizer.py:562-565).
+    Returns (idx, zbuf, qvalue, occupancy, frag_scaler, visible, rgbw) where
+    rgbw (S, S, 4) carries the weighted rgb sums + weight sum computed
+    in-kernel (weights = exp(-Q/2)·scaler over depth-merge survivors, treated
+    as locally constant per the reference semantics, rasterizer.py:562-565).
     """
     t, cap, chunk, mt = tile_config
     return rasterize_forward_pallas(
         pts_screen, ellipse_params, cutoff, radii,
         depth_merging_threshold, image_size, points_per_pixel,
         tile_size=t, bin_capacity=cap, chunk=chunk, max_tiles_xy=mt,
-        scaler=scaler, with_extras=True,
+        scaler=scaler, with_extras=True, features=features,
     )
 
 
 def _pallas_fwd(image_size, points_per_pixel, tile_config, pts_screen,
                 ellipse_params, cutoff, radii, dmt, radii_backward_scaler,
-                scaler=None):
+                scaler=None, features=None):
     out = rasterize_points_pallas(
         image_size, points_per_pixel, tile_config,
         pts_screen, ellipse_params, cutoff, radii, dmt, radii_backward_scaler,
-        scaler,
+        scaler, features,
     )
     # residuals: idx for zbuf scatter, in-kernel visibility for the occ
-    # backward (avoids recomputing it from 1.3M fragment ids)
-    return out, (pts_screen, radii, out[0], out[5], radii_backward_scaler)
+    # backward, qvalue+frag_scaler to rebuild composite weights for the
+    # feature gradient
+    return out, (pts_screen, radii, out[0], out[2], out[4], out[5],
+                 radii_backward_scaler)
 
 
 def _pallas_bwd(image_size, points_per_pixel, tile_config, residuals, grads):
     from dss_tpu.render.rasterizer import _zbuf_backward
 
-    pts_screen, radii, idx, visible, radii_backward_scaler = residuals
-    _, grad_zbuf, _grad_q, grad_occ, _grad_sc, _grad_vis = grads
+    (pts_screen, radii, idx, qvalue, frag_scaler, visible,
+     radii_backward_scaler) = residuals
+    _, grad_zbuf, _grad_q, grad_occ, _grad_sc, _grad_vis, grad_rgbw = grads
     p = pts_screen.shape[0]
     t, cap, chunk, mt = tile_config
 
@@ -724,6 +760,17 @@ def _pallas_bwd(image_size, points_per_pixel, tile_config, residuals, grads):
     )
     grad_z = _zbuf_backward(idx, grad_zbuf, p)
     grad_pts = jnp.concatenate([grad_xy, grad_z[:, None]], axis=-1)
+
+    # feature gradient through the fused composite: each fragment (pixel, k)
+    # with id p contributes w_frag · g_rgb(pixel); weights are constant
+    # (reference semantics), so this is one segment_sum.
+    w_frag = jnp.exp(-0.5 * qvalue) * frag_scaler  # 0 where not kept
+    g_rgb = grad_rgbw[..., :3]  # (S, S, 3); the wsum channel is non-diff
+    flat_idx = idx.reshape(-1)
+    seg = jnp.where(flat_idx >= 0, flat_idx, p)
+    contrib = (w_frag[..., None] * g_rgb[:, :, None, :]).reshape(-1, 3)
+    grad_features = jax.ops.segment_sum(contrib, seg, num_segments=p + 1)[:p]
+
     return (
         grad_pts,
         jnp.zeros((p, 3), pts_screen.dtype),
@@ -732,6 +779,7 @@ def _pallas_bwd(image_size, points_per_pixel, tile_config, residuals, grads):
         jnp.zeros(()),
         jnp.zeros(()),
         jnp.zeros((p,), pts_screen.dtype),
+        grad_features,
     )
 
 

@@ -89,7 +89,7 @@ def render_single_view(
         n_tiles = (settings.image_size // settings.tile_size) ** 2
         bin_capacity = min(p_cap, max(settings.bin_capacity, 4 * p_cap // max(n_tiles, 1)))
 
-        idx, zbuf, qvalue, occ, frag_scaler, visible = rasterize_points_pallas(
+        idx, zbuf, qvalue, occ, frag_scaler, visible, rgbw = rasterize_points_pallas(
             settings.image_size,
             settings.points_per_pixel,
             (
@@ -105,26 +105,34 @@ def render_single_view(
             settings.depth_merging_threshold,
             settings.radii_backward_scaler,
             splats.scaler,
+            shaded,
         )
-    else:
-        idx, zbuf, qvalue, occ = rasterize_points(
-            settings.image_size,
-            settings.points_per_pixel,
-            row_chunk,
-            pts_screen,
-            splats.ellipse_params,
-            splats.cutoff,
-            splats.radii,
-            settings.depth_merging_threshold,
-            settings.radii_backward_scaler,
-        )
+        fragments = Fragments(idx=idx, zbuf=zbuf, qvalue=qvalue, occupancy=occ)
+        # Compositing was fused into the fragment kernel: rgbw carries the
+        # weighted rgb sums + weight sum; only the norm division remains.
+        if normalize_composite:
+            rgb = rgbw[..., :3] / jnp.maximum(rgbw[..., 3:4], 1e-10)
+        else:
+            rgb = rgbw[..., :3]
+        rgba = jnp.concatenate([rgb, occ[..., None]], axis=-1)
+        return rgba, fragments, visible
+
+    idx, zbuf, qvalue, occ = rasterize_points(
+        settings.image_size,
+        settings.points_per_pixel,
+        row_chunk,
+        pts_screen,
+        splats.ellipse_params,
+        splats.cutoff,
+        splats.radii,
+        settings.depth_merging_threshold,
+        settings.radii_backward_scaler,
+    )
     fragments = Fragments(idx=idx, zbuf=zbuf, qvalue=qvalue, occupancy=occ)
 
     # 4. weights = exp(-0.5 Q) · scaler (renderer.py:53); per-fragment scaler
-    # computed in-kernel on the pallas path, else gathered with the
-    # negative-index guard (rasterizer.py:631-633).
-    if frag_scaler is None:
-        frag_scaler = masked_gather(splats.scaler[:, None], idx)[..., 0]
+    # gathered with the negative-index guard (rasterizer.py:631-633).
+    frag_scaler = masked_gather(splats.scaler[:, None], idx)[..., 0]
     weights = jnp.exp(-0.5 * qvalue) * frag_scaler
 
     # 5. Composite to RGB; alpha = occupancy (renderer.py:57-78).
@@ -132,8 +140,7 @@ def render_single_view(
     rgb = compose(idx, weights, shaded)
     rgba = jnp.concatenate([rgb, occ[..., None]], axis=-1)
 
-    if visible is None:
-        visible = visible_points_mask(idx, points.shape[0])
+    visible = visible_points_mask(idx, points.shape[0])
     return rgba, fragments, visible
 
 
