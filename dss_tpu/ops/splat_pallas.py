@@ -441,6 +441,9 @@ def rasterize_forward_pallas(
     z_t, q_t, pos_t, cnt_t, sc_t, vis_t, rgb_t = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, k, tt), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, k, tt), jnp.float32),
@@ -672,6 +675,9 @@ def occ_backward_pallas(
     gx_t, gy_t = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, 1, bin_capacity), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1, bin_capacity), jnp.float32),
