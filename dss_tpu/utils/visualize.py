@@ -118,3 +118,59 @@ def save_image_grid(images: np.ndarray, path: str, ncols: int = 4) -> str:
     fig.savefig(path, dpi=110, bbox_inches="tight")
     plt.close(fig)
     return path
+
+
+def plot_iso_surface(
+    sdf_fn, path: str, bound: float = 1.2, resolution: int = 48, level: float = 0.0
+) -> str:
+    """Mesh the SDF level set (marching tetrahedra) and render a 3D preview
+    (reference plot_iso_surface, visualize.py:617)."""
+    import jax.numpy as jnp
+
+    from dss_tpu.geometry.meshing import marching_tetrahedra
+
+    lin = np.linspace(-bound, bound, resolution)
+    grid = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1).reshape(-1, 3)
+    sdf = np.asarray(sdf_fn(jnp.asarray(grid))).reshape(resolution, resolution, resolution)
+    verts, faces = marching_tetrahedra(sdf, np.full(3, -bound), np.full(3, bound), level)
+
+    plt = _mpl()
+    fig = plt.figure(figsize=(7, 7))
+    ax = fig.add_subplot(projection="3d")
+    if len(faces):
+        tri = verts[faces]
+        from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+        coll = Poly3DCollection(tri[:: max(1, len(tri) // 4000)], alpha=0.6)
+        coll.set_edgecolor("none")
+        ax.add_collection3d(coll)
+        ax.set_xlim(-bound, bound); ax.set_ylim(-bound, bound); ax.set_zlim(-bound, bound)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fig.savefig(path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def plot_cuts(sdf_fn, path: str, bound: float = 1.2, resolution: int = 96) -> str:
+    """Axis-aligned SDF cross-sections with the zero level set highlighted
+    (reference plot_cuts, visualize.py:668)."""
+    import jax.numpy as jnp
+
+    plt = _mpl()
+    lin = np.linspace(-bound, bound, resolution)
+    fig, axes = plt.subplots(1, 3, figsize=(15, 5))
+    for axis, ax in enumerate(axes):
+        a, b = np.meshgrid(lin, lin, indexing="ij")
+        pts = np.zeros((resolution * resolution, 3), np.float32)
+        other = [i for i in range(3) if i != axis]
+        pts[:, other[0]] = a.reshape(-1)
+        pts[:, other[1]] = b.reshape(-1)
+        f = np.asarray(sdf_fn(jnp.asarray(pts))).reshape(resolution, resolution)
+        im = ax.contourf(lin, lin, f.T, levels=20, cmap="RdBu")
+        ax.contour(lin, lin, f.T, levels=[0.0], colors="k", linewidths=2)
+        ax.set_title(f"cut {'xyz'[axis]} = 0")
+        fig.colorbar(im, ax=ax)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fig.savefig(path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+    return path
