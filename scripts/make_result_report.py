@@ -1,0 +1,80 @@
+"""Render a GT-vs-prediction comparison + metrics for a trained yoga6 model.
+
+Usage: python scripts/make_result_report.py [--out docs] [--platform cpu]
+Reads exp/dss_proj/model.npz and /tmp/yoga6_data.
+"""
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="docs")
+    ap.add_argument("--ckpt-dir", default="exp/dss_proj")
+    ap.add_argument("--data", default="/tmp/yoga6_data")
+    ap.add_argument("--views", type=int, nargs="+", default=[0, 5, 11, 17])
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    from dss_tpu.utils.platform import setup_jax
+
+    setup_jax(args.platform)
+    import jax.numpy as jnp
+
+    from dss_tpu import config as config_mod
+    from dss_tpu.data.dataset import MVRDataset
+    from dss_tpu.models.point_model import render_model
+    from dss_tpu.training.checkpoint import CheckpointIO
+    from dss_tpu.training.metrics import chamfer_hausdorff, point_to_surface
+    from dss_tpu.training.trainer import create_train_state
+    from dss_tpu.utils.visualize import save_image_grid
+
+    cfg = config_mod.load_config("configs/dss.yml")
+    ds = MVRDataset(args.data)
+    params, learn = config_mod.create_model_params(cfg)
+    settings = config_mod.create_raster_settings(cfg)
+    optimizer = config_mod.create_optimizer(cfg, learn)
+    state = create_train_state(params, optimizer)
+    state, scalars = CheckpointIO(args.ckpt_dir).load("model.npz", state)
+    it = int(scalars.get("it", -1))
+    print("loaded checkpoint at it", it)
+
+    img, msk, cams, lights = ds.get_batch(args.views)
+    rgba = np.asarray(
+        jax.jit(lambda p, f: render_model(p, f, cams, lights, settings))(
+            state.params, state.filters
+        )
+    )
+    rows = []
+    for i in range(len(args.views)):
+        rows.append(img[i])
+        a = rgba[i, ..., 3:4]
+        rows.append(np.clip(rgba[i, ..., :3], 0, 1) * a)
+    os.makedirs(args.out, exist_ok=True)
+    save_image_grid(
+        np.stack(rows), os.path.join(args.out, "yoga6_gt_vs_pred.png"), ncols=2
+    )
+
+    gt = jnp.asarray(ds.points)
+    gtn = jnp.asarray(ds.normals)
+    active = state.filters.activation
+    m = chamfer_hausdorff(state.params.points, gt, pred_mask=active)
+    p2f = point_to_surface(state.params.points, gt, gtn, pred_mask=active)
+    report = {
+        "iters": it,
+        "chamfer": float(m["chamfer"]),
+        "hausdorff": float(m["hausdorff"]),
+        "p2f": float(p2f),
+    }
+    with open(os.path.join(args.out, "yoga6_metrics.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(report)
+
+
+if __name__ == "__main__":
+    main()
