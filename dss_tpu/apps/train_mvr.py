@@ -45,6 +45,10 @@ def main(argv=None):
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="capture a jax.profiler trace of iterations "
                              "10-15 into this directory")
+    parser.add_argument("--prune-every", type=int, default=-1,
+                        help="every N iters deactivate dead points (zero "
+                             "silhouette gradient over a view batch; "
+                             "reference Model.prune_points)")
     args = parser.parse_args(argv)
 
     from dss_tpu.utils.platform import setup_jax
@@ -141,6 +145,20 @@ def main(argv=None):
                     "epoch %d it %d loss %.5f (%.3fs/it)",
                     epoch, it, scalars.get("loss", float("nan")), dt,
                 )
+
+            if args.prune_every > 0 and it % args.prune_every == 0:
+                from dss_tpu.models.point_model import prune_dead_points
+
+                active = prune_dead_points(
+                    state.params, state.filters, cameras, settings,
+                    jnp.asarray(mask_img),
+                ) & state.filters.activation
+                n_active = int(active.sum())
+                state = state.replace(
+                    filters=state.filters.replace(activation=active)
+                )
+                logger.info("pruned to %d active points", n_active)
+                mlog.log(it, {"n_active_points": float(n_active)})
 
             if validate_every > 0 and it % validate_every == 0:
                 eval_dict = evaluate(state)
