@@ -149,9 +149,22 @@ def main(argv=None):
             if args.prune_every > 0 and it % args.prune_every == 0:
                 from dss_tpu.models.point_model import prune_dead_points
 
-                active = prune_dead_points(
-                    state.params, state.filters, cameras, settings,
+                # checkpoint first: the prune gradient is a separate program
+                # whose first compile can exceed an --exit-after window
+                ckpt.save(resume_name, state, epoch_it=epoch, it=it,
+                          loss_val_best=metric_best)
+                # half-resolution render is sufficient for the zero-gradient
+                # test and compiles much faster
+                prune_settings = settings.replace(
+                    image_size=max(64, settings.image_size // 2)
+                )
+                small = jax.image.resize(
                     jnp.asarray(mask_img),
+                    (mask_img.shape[0],) + (prune_settings.image_size,) * 2,
+                    "nearest",
+                )
+                active = prune_dead_points(
+                    state.params, state.filters, cameras, prune_settings, small
                 ) & state.filters.activation
                 n_active = int(active.sum())
                 state = state.replace(
