@@ -247,3 +247,29 @@ class TestConvergence:
         off0 = 0.269  # |(0.25, 0.1, 0)|
         off1 = float(jnp.linalg.norm(jnp.mean(state.params.points, 0) - jnp.mean(gt_pts, 0)))
         assert off1 < off0 * 0.7, f"center offset did not shrink: {off1}"
+
+
+def test_prune_dead_points():
+    """Points far outside every silhouette get exactly-zero gradients and are
+    pruned; points shaping the silhouette stay (reference Model.prune_points,
+    point_modeling.py:114-133)."""
+    from dss_tpu.models.point_model import prune_dead_points
+
+    pts = jnp.asarray(fibonacci_sphere(200, 0.4))
+    # 20 stray points far off to the side (visible nowhere near the mask)
+    stray = jnp.tile(jnp.array([[5.0, 5.0, 0.0]]), (20, 1))
+    allpts = jnp.concatenate([pts, stray])
+    normals = allpts / jnp.maximum(jnp.linalg.norm(allpts, axis=-1, keepdims=True), 1e-9)
+    params = PointModelParams.create(allpts, normals)
+    filters = PointFilters.ones(220)
+    r, t = look_at_view_transform(
+        dist=jnp.array([2.0, 2.0]), elev=jnp.array([0.0, 30.0]), azim=jnp.array([0.0, 120.0])
+    )
+    cams = FoVPerspectiveCameras.create(r, t, fov=60.0)
+    settings = RasterSettings(image_size=24, points_per_pixel=3)
+    mask_gt = jnp.ones((2, 24, 24))
+    active = prune_dead_points(params, filters, cams, settings, mask_gt)
+    # sphere points overwhelmingly kept; stray points dropped
+    # with only 2 views, back-facing-everywhere points are legitimately dead
+    assert float(active[:200].mean()) > 0.45
+    assert not bool(active[200:].any())
