@@ -66,8 +66,13 @@ def main():
     target_mask = jnp.zeros((N_VIEWS, IMAGE_SIZE, IMAGE_SIZE))
 
     def loss_fn(points, normals, colors):
+        from dss_tpu.render.ewa import compute_vrk_h_global
+
+        # world-space kernel size computed once per step (as in the train
+        # step), not per vmapped view
+        vrk_h = compute_vrk_h_global(points, mask)
         rgba, _, _ = render_views(
-            points, normals, colors, mask, cams, None, settings
+            points, normals, colors, mask, cams, None, settings, vrk_h=vrk_h
         )
         return jnp.mean(jnp.abs(rgba[..., :3] - target_rgb)) + jnp.mean(
             jnp.abs(rgba[..., 3] - target_mask)

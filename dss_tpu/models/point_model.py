@@ -101,6 +101,21 @@ def point_model_forward(
     normals = normalize(params.normals)
     active = filters.activation
 
+    # The splat kernel size h is a world-space quantity (kNN spacing) shared
+    # by every view: compute it ONCE per step instead of per vmapped view
+    # (the reference computes it once for the batch too — it caches _Vrk_h,
+    # rasterizer.py:359-388).  At 100k points the kNN dominates per-view cost.
+    if vrk_h is None:
+        from dss_tpu.render.ewa import (
+            compute_vrk_h_global,
+            compute_vrk_h_isotropic,
+        )
+
+        if settings.Vrk_invariant:
+            vrk_h = compute_vrk_h_global(params.points, active)
+        elif settings.Vrk_isotropic:
+            vrk_h = compute_vrk_h_isotropic(params.points, active)
+
     rgba, _, visible = render_views(
         params.points,
         normals,
@@ -145,6 +160,13 @@ def render_model(
 ) -> jnp.ndarray:
     """Eval-time render → RGBA (V, S, S, 4) (reference Model.render,
     point_modeling.py:216-236)."""
+    from dss_tpu.render.ewa import compute_vrk_h_global, compute_vrk_h_isotropic
+
+    vrk_h = None
+    if settings.Vrk_invariant:
+        vrk_h = compute_vrk_h_global(params.points, filters.activation)
+    elif settings.Vrk_isotropic:
+        vrk_h = compute_vrk_h_isotropic(params.points, filters.activation)
     rgba, _, _ = render_views(
         params.points,
         normalize(params.normals),
@@ -153,6 +175,7 @@ def render_model(
         cameras,
         lights,
         settings,
+        vrk_h=vrk_h,
         **render_kwargs,
     )
     return rgba
