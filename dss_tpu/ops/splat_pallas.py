@@ -167,54 +167,50 @@ def bin_splats(
 
     n_pairs = p * rep
     starts = jnp.searchsorted(sorted_key, jnp.arange(n_tiles + 1, dtype=jnp.int32))
-    pos_in_tile = jnp.arange(n_pairs, dtype=jnp.int32) - starts[sorted_key]
-    in_cap = (pos_in_tile < bin_capacity) & (sorted_key < n_tiles)
-    flat = jnp.where(
-        in_cap, sorted_key * bin_capacity + pos_in_tile, n_tiles * bin_capacity
-    )
-    table = jnp.full((n_tiles * bin_capacity + 1,), -1, jnp.int32)
-    table = table.at[flat].set(sorted_id)
-    tile_ids = table[:-1].reshape(n_tiles, bin_capacity)
-
     counts = jnp.minimum(starts[1:] - starts[:-1], bin_capacity).astype(jnp.int32)
     cap_overflow = jnp.sum(
         jnp.maximum(starts[1:] - starts[:-1] - bin_capacity, 0)
     )
     overflow = cap_overflow + jnp.sum(jnp.where(live & span_overflow, 1, 0))
 
-    # Scatter per-candidate channels into the padded table: O(P·rep) rows
-    # written instead of O(n_tiles·M) gathered (most table slots are padding).
-    src = jnp.stack(
-        [
-            px[sorted_id],
-            py[sorted_id],
-            pz[sorted_id],
-            ellipse[sorted_id, 0],
-            ellipse[sorted_id, 1],
-            ellipse[sorted_id, 2],
-            cutoff[sorted_id],
-            rx[sorted_id],
-            ry[sorted_id],
-            (scaler[sorted_id] if scaler is not None
-             else jnp.zeros_like(cutoff)[sorted_id]),
-            (features[sorted_id, 0] if features is not None
-             else jnp.zeros_like(cutoff)[sorted_id]),
-            (features[sorted_id, 1] if features is not None
-             else jnp.zeros_like(cutoff)[sorted_id]),
-            (features[sorted_id, 2] if features is not None
-             else jnp.zeros_like(cutoff)[sorted_id]),
-        ],
-        axis=-1,
-    )  # (n_pairs, C)
-    sentinel = jnp.array(
-        [2.0, 2.0, -1.0, 0.0, 0.0, 0.0, -INF, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
-        jnp.float32,
+    # Table slot (tile, j) reads sorted row starts[tile]+j — a GATHER from
+    # the contiguous sorted pair array.  (A scatter formulation —
+    # table.at[key*cap+pos].set — dominated runtime at 100k points: TPU
+    # scatters serialize, gathers vectorize.)
+    tile_slot_src = starts[:-1, None] + jnp.arange(bin_capacity, dtype=jnp.int32)[None, :]
+    valid_slot = (
+        jnp.arange(bin_capacity, dtype=jnp.int32)[None, :] < counts[:, None]
     )
-    data = jnp.broadcast_to(sentinel, (n_tiles * bin_capacity + 1, N_CHANNELS))
-    data = data.at[flat].set(src.astype(jnp.float32))
-    chans = jnp.transpose(
-        data[:-1].reshape(n_tiles, bin_capacity, N_CHANNELS), (0, 2, 1)
-    )  # (n_tiles, C, M)
+    safe_src = jnp.clip(tile_slot_src, 0, n_pairs - 1)
+    tile_ids = jnp.where(valid_slot, sorted_id[safe_src], -1)
+
+    # Gather per-candidate channels through tile_ids (valid slots point at
+    # original splat rows; padding gets sentinels that can never be accepted).
+    safe_id = jnp.maximum(tile_ids, 0)  # (n_tiles, M)
+    pad = tile_ids < 0
+    zeros = jnp.zeros_like(cutoff)
+
+    def ch(vals, sentinel_val):
+        return jnp.where(pad, sentinel_val, vals[safe_id])
+
+    chans = jnp.stack(
+        [
+            ch(px, 2.0),
+            ch(py, 2.0),
+            ch(pz, -1.0),
+            ch(ellipse[:, 0], 0.0),
+            ch(ellipse[:, 1], 0.0),
+            ch(ellipse[:, 2], 0.0),
+            ch(cutoff, -INF),
+            ch(rx, 0.0),
+            ch(ry, 0.0),
+            ch(scaler if scaler is not None else zeros, 0.0),
+            ch(features[:, 0] if features is not None else zeros, 0.0),
+            ch(features[:, 1] if features is not None else zeros, 0.0),
+            ch(features[:, 2] if features is not None else zeros, 0.0),
+        ],
+        axis=1,
+    ).astype(jnp.float32)  # (n_tiles, C, M)
     return BinnedSplats(
         tile_data=chans,
         tile_ids=tile_ids,
