@@ -47,10 +47,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 INF = jnp.inf
 
-# Channel layout of the per-candidate data passed to the kernels.
+# Channel layout of the per-candidate data passed to the forward kernel.
 (_CH_PX, _CH_PY, _CH_PZ, _CH_A, _CH_B, _CH_C, _CH_CUT, _CH_RX, _CH_RY,
  _CH_SC, _CH_R, _CH_G, _CH_B2) = range(13)
 N_CHANNELS = 13
+
+# Reduced layout for the occupancy-backward kernel (rx/ry = UNSCALED radii
+# for the outside-splat test; the scaled support only affects binning).
+(_BCH_PX, _BCH_PY, _BCH_PZ, _BCH_RX, _BCH_RY) = range(5)
+N_BWD_CHANNELS = 5
 
 
 def _interpret_mode() -> bool:
@@ -89,11 +94,16 @@ def bin_splats(
     sort_by_depth: bool = True,
     scaler: jnp.ndarray | None = None,
     features: jnp.ndarray | None = None,
+    backward_channels: bool = False,
 ) -> BinnedSplats:
     """Build the per-tile candidate table.
 
     extra_radius: additional NDC support (used by the backward pass, where the
     search radius is the traced scaled median radius, not the splat radius).
+    backward_channels: build the reduced 5-channel table for the occupancy
+    backward (px, py, pz, UNSCALED rx/ry) instead of the 13-channel forward
+    layout — the backward kernel never reads conic/scaler/rgb, so gathering
+    them only burns HBM bandwidth.
     """
     p = pts.shape[0]
     s = image_size
@@ -190,27 +200,37 @@ def bin_splats(
     pad = tile_ids < 0
     zeros = jnp.zeros_like(cutoff)
 
-    def ch(vals, sentinel_val):
-        return jnp.where(pad, sentinel_val, vals[safe_id])
-
-    chans = jnp.stack(
-        [
-            ch(px, 2.0),
-            ch(py, 2.0),
-            ch(pz, -1.0),
-            ch(ellipse[:, 0], 0.0),
-            ch(ellipse[:, 1], 0.0),
-            ch(ellipse[:, 2], 0.0),
-            ch(cutoff, -INF),
-            ch(rx, 0.0),
-            ch(ry, 0.0),
-            ch(scaler if scaler is not None else zeros, 0.0),
-            ch(features[:, 0] if features is not None else zeros, 0.0),
-            ch(features[:, 1] if features is not None else zeros, 0.0),
-            ch(features[:, 2] if features is not None else zeros, 0.0),
-        ],
-        axis=1,
-    ).astype(jnp.float32)  # (n_tiles, C, M)
+    # One row-gather of a pre-stacked (P, C) matrix instead of C scalar
+    # gathers: TPU gathers with a contiguous trailing dim move whole rows.
+    if backward_channels:
+        src = jnp.stack([px, py, pz, radii[:, 0], radii[:, 1]], axis=1)
+        sentinel = jnp.array([2.0, 2.0, -1.0, 0.0, 0.0], jnp.float32)
+    else:
+        src = jnp.stack(
+            [
+                px,
+                py,
+                pz,
+                ellipse[:, 0],
+                ellipse[:, 1],
+                ellipse[:, 2],
+                cutoff,
+                rx,
+                ry,
+                scaler if scaler is not None else zeros,
+                features[:, 0] if features is not None else zeros,
+                features[:, 1] if features is not None else zeros,
+                features[:, 2] if features is not None else zeros,
+            ],
+            axis=1,
+        )
+        sentinel = jnp.array(
+            [2.0, 2.0, -1.0, 0.0, 0.0, 0.0, -INF, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+            jnp.float32,
+        )
+    rows = src.astype(jnp.float32)[safe_id]  # (n_tiles, M, C)
+    chans = jnp.where(pad[:, :, None], sentinel, rows)
+    chans = jnp.swapaxes(chans, 1, 2)  # (n_tiles, C, M)
     return BinnedSplats(
         tile_data=chans,
         tile_ids=tile_ids,
@@ -541,11 +561,11 @@ def _bwd_kernel(
 
     def body(i, _):
         sl = pl.ds(i * chunk, chunk)
-        px = data_ref[0, _CH_PX, sl][None, :]
-        py = data_ref[0, _CH_PY, sl][None, :]
-        pz = data_ref[0, _CH_PZ, sl][None, :]
-        rx = data_ref[0, _CH_RX, sl][None, :]
-        ry = data_ref[0, _CH_RY, sl][None, :]
+        px = data_ref[0, _BCH_PX, sl][None, :]
+        py = data_ref[0, _BCH_PY, sl][None, :]
+        pz = data_ref[0, _BCH_PZ, sl][None, :]
+        rx = data_ref[0, _BCH_RX, sl][None, :]
+        ry = data_ref[0, _BCH_RY, sl][None, :]
 
         dx = xf - px  # (TT, CM)
         dy = yf - py
@@ -618,22 +638,10 @@ def occ_backward_pallas(
         max_tiles_y=max_tiles_xy,
         extra_radius=cur_r,
         sort_by_depth=False,
+        backward_channels=True,  # 5-ch table stores the UNSCALED radii;
+        # padding gets pz = −1 so pt_ok rejects it
     )
-    # Overwrite the rx/ry channels with the UNSCALED radii for the
-    # outside-splat test (bin_splats stored radii + extra_radius).
-    safe = jnp.maximum(binned.tile_ids, 0)
-    pad = binned.tile_ids < 0
     tile_data = binned.tile_data
-    tile_data = tile_data.at[:, _CH_RX, :].set(
-        jnp.where(pad, 0.0, radii_masked[safe, 0])
-    )
-    tile_data = tile_data.at[:, _CH_RY, :].set(
-        jnp.where(pad, 0.0, radii_masked[safe, 1])
-    )
-    # Padding sentinel: push pz negative so pt_ok rejects.
-    tile_data = tile_data.at[:, _CH_PZ, :].set(
-        jnp.where(pad, -1.0, tile_data[:, _CH_PZ, :])
-    )
 
     # Per-tile pixel gradients, padded to a VMEM-friendly row count.
     tt = t * t
@@ -656,7 +664,7 @@ def occ_backward_pallas(
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(
-                (1, N_CHANNELS, bin_capacity),
+                (1, N_BWD_CHANNELS, bin_capacity),
                 lambda i, counts: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -760,7 +768,14 @@ def _pallas_bwd(image_size, points_per_pixel, tile_config, residuals, grads):
         image_size, tile_size=t, bin_capacity=max(cap, 512), chunk=chunk,
         max_tiles_xy=max(mt + 2, 6),
     )
-    grad_z = _zbuf_backward(idx, grad_zbuf, p)
+    # zbuf grads are usually materialized zeros (no depth loss in the default
+    # workloads) — custom_vjp can't see that statically, but a runtime cond
+    # skips the (S·S·K)-fragment segment_sum for the cost of one reduction.
+    grad_z = jax.lax.cond(
+        jnp.any(grad_zbuf != 0.0),
+        lambda: _zbuf_backward(idx, grad_zbuf, p),
+        lambda: jnp.zeros((p,), pts_screen.dtype),
+    )
     grad_pts = jnp.concatenate([grad_xy, grad_z[:, None]], axis=-1)
 
     # feature gradient through the fused composite: each fragment (pixel, k)
