@@ -71,7 +71,10 @@ class RasterSettings:
     backend: str = struct.field(pytree_node=False, default="auto")
     # Pallas tuning: pixels per tile, candidate capacity per tile, candidate
     # chunk per VPU pass, max tiles a splat may span per axis.
-    tile_size: int = struct.field(pytree_node=False, default=32)
+    # Fragment-kernel tile side: per-grid-step overhead dominates, so bigger
+    # tiles win until accumulator registers spill VMEM (measured at 512²:
+    # 64 > 32 > 16; 128 fails to compile with 366 MB of spill slots).
+    tile_size: int = struct.field(pytree_node=False, default=64)
     bin_capacity: int = struct.field(pytree_node=False, default=512)
     bin_chunk: int = struct.field(pytree_node=False, default=128)
     max_tiles_per_splat: int = struct.field(pytree_node=False, default=4)

@@ -86,14 +86,17 @@ def render_single_view(
         # padded point count (the reference similarly sizes bins by
         # max(10000, P), rasterizer.py:732-733).
         p_cap = -(-points.shape[0] // settings.bin_chunk) * settings.bin_chunk
-        n_tiles = (settings.image_size // settings.tile_size) ** 2
+        # Per-grid-step overhead dominates the fragment kernel (measured:
+        # tile 64 > 32 > 16 at 512²) — but the tile can never exceed the image.
+        tile_size = min(settings.tile_size, settings.image_size)
+        n_tiles = (settings.image_size // tile_size) ** 2
         bin_capacity = min(p_cap, max(settings.bin_capacity, 4 * p_cap // max(n_tiles, 1)))
 
         idx, zbuf, qvalue, occ, frag_scaler, visible, rgbw = rasterize_points_pallas(
             settings.image_size,
             settings.points_per_pixel,
             (
-                settings.tile_size,
+                tile_size,
                 bin_capacity,
                 settings.bin_chunk,
                 settings.max_tiles_per_splat,
