@@ -160,14 +160,14 @@ def grid_knn_points(
     # Start offset of each cell in the sorted order.
     starts = jnp.searchsorted(sorted_cid, jnp.arange(n_cells + 1))
 
-    # Dense per-cell candidate table (n_cells, bucket_size) of sorted-order
-    # positions; -1 padded.
-    pos_in_cell = jnp.arange(p) - starts[sorted_cid]
-    valid_slot = (pos_in_cell < bucket_size) & (sorted_cid < n_cells)
-    flat = jnp.where(valid_slot, sorted_cid * bucket_size + pos_in_cell, n_cells * bucket_size)
-    table = jnp.full((n_cells * bucket_size + 1,), -1, jnp.int32)
-    table = table.at[flat].set(order.astype(jnp.int32))
-    table = table[:-1].reshape(n_cells, bucket_size)
+    # Dense per-cell candidate table (n_cells, bucket_size): slot (c, j) reads
+    # sorted position starts[c]+j — a gather from the sorted order (TPU
+    # scatters serialize; same pattern as ops/splat_pallas.bin_splats).
+    counts = starts[1:] - starts[:-1]
+    slot_src = starts[:-1, None] + jnp.arange(bucket_size)[None, :]
+    valid_slot = jnp.arange(bucket_size)[None, :] < counts[:, None]
+    safe_src = jnp.clip(slot_src, 0, p - 1)
+    table = jnp.where(valid_slot, order[safe_src].astype(jnp.int32), -1)
 
     # 27-neighborhood candidate gather per query point.
     offs = jnp.stack(

@@ -529,15 +529,14 @@ def rasterize_forward_pallas(
         return idx, zbuf, qv, occ
 
     frag_scaler = jnp.where(keep, untile(sc_t, k), 0.0)
-    # candidate visibility flags → per-point via one small segment_max over
-    # (n_tiles·M) instead of a segment_sum over S·S·K fragments.
+    # candidate visibility flags → per-point over (n_tiles·M) candidates
+    # instead of S·S·K fragments; the flags are 0/1 so "any" = sorted sum > 0
+    # (scatter-max serializes like scatter-add).
     p = pts.shape[0]
     ids = binned.tile_ids.reshape(-1)
     seg = jnp.where(ids >= 0, ids, p)
-    vis = jax.ops.segment_max(
-        vis_t.reshape(-1), seg, num_segments=p + 1, indices_are_sorted=False
-    )
-    visible = jnp.nan_to_num(vis[:p], nan=0.0) > 0.0
+    vis = sorted_segment_sum(vis_t.reshape(-1, 1), seg, p)[:, 0]
+    visible = vis > 0.0
     rgbw = untile(rgb_t, 4)  # (S, S, 4): weighted rgb sums + weight sum
     return idx, zbuf, qv, occ, frag_scaler, visible, rgbw
 
