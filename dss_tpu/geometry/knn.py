@@ -169,27 +169,59 @@ def grid_knn_points(
     safe_src = jnp.clip(slot_src, 0, p - 1)
     table = jnp.where(valid_slot, order[safe_src].astype(jnp.int32), -1)
 
-    # 27-neighborhood candidate gather per query point.
+    # 27-neighborhood candidate gather, chunked over queries.  Distances are
+    # accumulated per coordinate — gathering (C, 27·bucket) planes keeps the
+    # lane dimension wide; a (P, 27·bucket, 3) gather would pad the trailing
+    # 3 to 128 lanes under TPU tiling (measured: 88 GB requested at P=100k).
     offs = jnp.stack(
         jnp.meshgrid(jnp.arange(-1, 2), jnp.arange(-1, 2), jnp.arange(-1, 2), indexing="ij"),
         axis=-1,
     ).reshape(27, 3)
-    nbr_ijk = ijk[:, None, :] + offs[None, :, :]  # (P, 27, 3)
-    inb = jnp.all((nbr_ijk >= 0) & (nbr_ijk < grid_res), axis=-1)
-    nbr_cid = (nbr_ijk[..., 0] * grid_res + nbr_ijk[..., 1]) * grid_res + nbr_ijk[..., 2]
-    nbr_cid = jnp.where(inb, nbr_cid, 0)
-    cand = table[nbr_cid]  # (P, 27, bucket)
-    cand = jnp.where(inb[..., None], cand, -1).reshape(p, 27 * bucket_size)
+    n_cand = 27 * bucket_size
+    k_eff = min(k, n_cand)
+    px, py, pz = points[:, 0], points[:, 1], points[:, 2]
 
-    cand_pts = masked_gather(points, cand, fill=1e30)
-    d = jnp.sum((cand_pts - points[:, None, :]) ** 2, axis=-1)
-    d = jnp.where(cand >= 0, d, INF)
-    if exclude_self:
-        d = jnp.where(cand == jnp.arange(p)[:, None], INF, d)
-    neg_top, sl = jax.lax.top_k(-d, min(k, 27 * bucket_size))
-    dists = -neg_top
-    idx = jnp.take_along_axis(cand, sl, axis=1)
-    idx = jnp.where(jnp.isinf(dists), -1, idx)
-    dists = jnp.where(mask[:, None], dists, INF)
-    idx = jnp.where(mask[:, None], idx, -1)
+    def chunk_fn(args):
+        q_ijk, q_pts, q_mask, q_idx = args
+        nbr_ijk = q_ijk[:, None, :] + offs[None, :, :]  # (C, 27, 3)
+        inb = jnp.all((nbr_ijk >= 0) & (nbr_ijk < grid_res), axis=-1)
+        nbr_cid = (
+            nbr_ijk[..., 0] * grid_res + nbr_ijk[..., 1]
+        ) * grid_res + nbr_ijk[..., 2]
+        nbr_cid = jnp.where(inb, nbr_cid, 0)
+        cand = table[nbr_cid]  # (C, 27, bucket)
+        cand = jnp.where(inb[..., None], cand, -1).reshape(-1, n_cand)
+        safe = jnp.maximum(cand, 0)
+        d = jnp.zeros(cand.shape, points.dtype)
+        for coord in (px, py, pz):
+            dc = coord[safe] - coord[q_idx][:, None]
+            d = d + dc * dc
+        d = jnp.where(cand >= 0, d, INF)
+        if exclude_self:
+            d = jnp.where(cand == q_idx[:, None], INF, d)
+        neg_top, sl = jax.lax.top_k(-d, k_eff)
+        dists = -neg_top
+        idx = jnp.take_along_axis(cand, sl, axis=1)
+        idx = jnp.where(jnp.isinf(dists), -1, idx)
+        dists = jnp.where(q_mask[:, None], dists, INF)
+        idx = jnp.where(q_mask[:, None], idx, -1)
+        return dists, idx
+
+    query_chunk = 4096
+    if p <= query_chunk:
+        dists, idx = chunk_fn((ijk, pts, mask, jnp.arange(p)))
+    else:
+        pad = (-p) % query_chunk
+        nchunks = (p + pad) // query_chunk
+        ij_c = jnp.pad(ijk, ((0, pad), (0, 0))).reshape(nchunks, query_chunk, 3)
+        pt_c = jnp.pad(pts, ((0, pad), (0, 0))).reshape(nchunks, query_chunk, 3)
+        m_c = jnp.pad(mask, (0, pad)).reshape(nchunks, query_chunk)
+        # padded queries index point 0 (masked out by m_c)
+        i_c = jnp.pad(jnp.arange(p), (0, pad)).reshape(nchunks, query_chunk)
+        dists, idx = jax.lax.map(chunk_fn, (ij_c, pt_c, m_c, i_c))
+        dists = dists.reshape(-1, k_eff)[:p]
+        idx = idx.reshape(-1, k_eff)[:p]
+    if k_eff < k:
+        dists = jnp.pad(dists, ((0, 0), (0, k - k_eff)), constant_values=INF)
+        idx = jnp.pad(idx, ((0, 0), (0, k - k_eff)), constant_values=-1)
     return dists, idx

@@ -92,6 +92,16 @@ class SplatInfo:
     mask: jnp.ndarray  # (P,) bool: renderable after culling
 
 
+def _self_knn7(points, mask):
+    # Brute force stays the right call even at 100k points: the P² distance
+    # matrix is MXU matmuls, while grid kNN (tried, reverted) pays sequential
+    # query chunks + top_k over 27·bucket candidates and measured 7× slower
+    # end-to-end — and its bucket-overflow bias inflates h (bigger splats,
+    # more rasterizer work downstream).
+    sq, _ = knn_points(points, points, mask, mask, k=7)
+    return sq
+
+
 def compute_vrk_h_isotropic(
     points: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
@@ -104,7 +114,7 @@ def compute_vrk_h_isotropic(
     (self + 6 neighbors), drop the self column, h = 0.5 * max.
     Returns (P,) h_k.  World-space quantity: camera independent.
     """
-    sq, _ = knn_points(points, points, mask, mask, k=7)
+    sq = _self_knn7(points, mask)
     sq = jnp.where(jnp.isfinite(sq), sq, 0.0)
     h = 0.5 * jnp.max(sq[:, 1:], axis=-1)
     return jnp.clip(h, clamp_lo, clamp_hi)
@@ -121,7 +131,7 @@ def compute_vrk_h_global(
     Returns a scalar ()."""
     if mask is None:
         mask = jnp.ones(points.shape[:1], bool)
-    sq, _ = knn_points(points, points, mask, mask, k=7)
+    sq = _self_knn7(points, mask)
     sq = jnp.where(jnp.isfinite(sq), sq, 0.0)
     h = 0.5 * jnp.max(sq[:, 1:], axis=-1)
     w = mask.astype(points.dtype)

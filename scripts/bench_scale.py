@@ -89,19 +89,23 @@ def main():
         sp = prep(pts, normals)
         print(f"prepare_splats (1 view): {timeit(prep, pts, normals)*1e3:8.2f} ms")
 
+        ts = min(settings.tile_size, s)
+        n_tiles = (s // ts) ** 2
+        cap = min(n_points, max(settings.bin_capacity, 4 * n_points // n_tiles))
         bin_fn = jax.jit(
             lambda sp: bin_splats(
                 sp.pts_screen, sp.ellipse_params, sp.cutoff, sp.radii,
-                s, 32, 512, scaler=sp.scaler, features=colors,
+                s, ts, cap, scaler=sp.scaler, features=colors,
             )
         )
-        print(f"bin_splats (1 view):     {timeit(bin_fn, sp)*1e3:8.2f} ms")
+        print(f"bin_splats (1 view):     {timeit(bin_fn, sp)*1e3:8.2f} ms  (tile {ts}, cap {cap})")
 
         fwd_fn = jax.jit(
             lambda sp: rasterize_forward_pallas(
                 sp.pts_screen, sp.ellipse_params, sp.cutoff, sp.radii,
-                settings.depth_merging_threshold, s, 5,
-                scaler=sp.scaler, with_extras=True, features=colors,
+                settings.depth_merging_threshold, s, 5, tile_size=ts,
+                bin_capacity=cap, scaler=sp.scaler, with_extras=True,
+                features=colors,
             )
         )
         out = fwd_fn(sp)
@@ -113,6 +117,7 @@ def main():
         bwd_fn = jax.jit(
             lambda sp, vis: occ_backward_pallas(
                 sp.pts_screen, sp.radii, vis, g_occ, 4.0, s,
+                tile_size=ts, bin_capacity=max(cap, 512), max_tiles_xy=6,
             )
         )
         print(f"occ backward (1 view):   {timeit(bwd_fn, sp, visible)*1e3:8.2f} ms")
