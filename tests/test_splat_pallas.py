@@ -208,3 +208,37 @@ class TestRendererBackendParity:
         np.testing.assert_allclose(
             np.asarray(g_ref), np.asarray(g_pal), rtol=1e-3, atol=1e-4
         )
+
+
+class TestSortedSegmentSum:
+    """sorted_segment_sum replaces scatter-add segment sums on hot paths
+    (TPU scatters serialize); it must match jax.ops.segment_sum exactly in
+    structure and closely in value (cumsum reassociation)."""
+
+    def test_matches_scatter_segment_sum(self):
+        from dss_tpu.ops.splat_pallas import sorted_segment_sum
+
+        rng = np.random.default_rng(7)
+        n, p = 10_000, 257
+        # ids in [0, p]: id == p is the dump bucket (dropped)
+        seg = jnp.asarray(rng.integers(0, p + 1, size=(n,), dtype=np.int32))
+        vals = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+        got = sorted_segment_sum(vals, seg, p)
+        want = jax.ops.segment_sum(vals, seg, num_segments=p + 1)[:p]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
+
+    def test_empty_and_singleton_segments(self):
+        from dss_tpu.ops.splat_pallas import sorted_segment_sum
+
+        seg = jnp.asarray([0, 0, 3, 5], dtype=jnp.int32)  # 1, 2, 4 empty
+        vals = jnp.asarray([[1.0], [2.0], [4.0], [8.0]])
+        got = np.asarray(sorted_segment_sum(vals, seg, 6))[:, 0]
+        np.testing.assert_allclose(got, [3.0, 0.0, 0.0, 4.0, 0.0, 8.0])
+
+    def test_all_dumped(self):
+        from dss_tpu.ops.splat_pallas import sorted_segment_sum
+
+        seg = jnp.full((5,), 4, dtype=jnp.int32)
+        vals = jnp.ones((5, 2))
+        got = np.asarray(sorted_segment_sum(vals, seg, 4))
+        np.testing.assert_allclose(got, np.zeros((4, 2)))
