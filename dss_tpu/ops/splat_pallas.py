@@ -782,13 +782,14 @@ def _pallas_bwd(image_size, points_per_pixel, tile_config, residuals, grads):
     p = pts_screen.shape[0]
     t, cap, chunk, mt = tile_config
 
-    # support radius (scaled median) usually spans ≤ 2 extra tiles; the
-    # dynamic trip counts make unused capacity cheap but not free, so size
-    # the backward bins moderately above the forward's
+    # Support AABB side = 2·(radius + scaled-median) px: ~70 px at the
+    # initial scaler, spanning ≤ 3 tiles of 64 — a 4-tile budget covers it
+    # with margin (36-slot budgets doubled the pair-sort cost at 100k pts).
+    # bin_splats reports (not silently drops) span overflow.
     grad_xy = occ_backward_pallas(
         pts_screen, radii, visible, grad_occ, radii_backward_scaler,
         image_size, tile_size=t, bin_capacity=max(cap, 512), chunk=chunk,
-        max_tiles_xy=max(mt + 2, 6),
+        max_tiles_xy=max(mt, 4),
     )
     # zbuf grads are usually materialized zeros (no depth loss in the default
     # workloads) — custom_vjp can't see that statically, but a runtime cond
