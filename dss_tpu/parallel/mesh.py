@@ -28,9 +28,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "views") -> Mesh:
-    """1-D device mesh over the first n devices."""
+    """1-D device mesh over the first n devices.
+
+    Raises if fewer than n_devices are available — a silently shrunk mesh
+    makes "multi-chip" tests vacuously pass on one device.
+    """
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"make_mesh: requested {n_devices} devices but only "
+                f"{len(devs)} available ({jax.default_backend()} backend); "
+                "for CPU testing set jax.config.update('jax_platforms','cpu') "
+                "and XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                "before JAX device init"
+            )
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))
 

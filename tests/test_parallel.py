@@ -92,7 +92,7 @@ class TestMultiScene:
         from dss_tpu.render.ewa import RasterSettings
         from dss_tpu.render.renderer import render_views
 
-        n_scenes, n_views, n_pts = 3, 2, 200
+        n_scenes, n_views, n_pts = 4, 2, 200
         keys = jax.random.split(jax.random.PRNGKey(0), n_scenes)
         scenes = jnp.stack(
             [
@@ -120,14 +120,26 @@ class TestMultiScene:
         assert vis.shape == (n_scenes, n_views, n_pts)
         # bigger spheres cover more pixels
         cover = jnp.mean(rgba[..., 3], axis=(1, 2, 3))
-        assert float(cover[2]) > float(cover[0])
-        # sharded over the mesh on the scene axis
+        assert float(cover[3]) > float(cover[0])
+        # REALLY shard the scene axis over a 4-device mesh and check both the
+        # placement and that GSPMD does not change the math
         from dss_tpu.parallel.mesh import make_mesh
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        mesh = make_mesh(1)  # single-device mesh placement sanity
-        rgba2, _ = jax.jit(jax.vmap(render_scene))(scenes, normals, colors, mask)
+        mesh = make_mesh(4, axis="scenes")
+        sh = NamedSharding(mesh, P("scenes"))
+        jitted = jax.jit(
+            jax.vmap(render_scene),
+            in_shardings=(sh, sh, sh, sh),
+            out_shardings=(
+                NamedSharding(mesh, P("scenes", None, None, None, None)),
+                NamedSharding(mesh, P("scenes", None, None)),
+            ),
+        )
+        rgba2, vis2 = jitted(scenes, normals, colors, mask)
+        assert len(rgba2.sharding.device_set) == 4
         np.testing.assert_allclose(np.asarray(rgba), np.asarray(rgba2), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(vis), np.asarray(vis2))
 
 
 class TestRowSharding:
