@@ -148,6 +148,10 @@ def create_raster_settings(cfg: dict):
         Vrk_isotropic=bool(rp.get("Vrk_isotropic", True)),
         backface_culling=bool(rp.get("backface_culling", False)),
         clip_pts_grad=float(rp.get("clip_pts_grad", -1.0)),
+        backend=str(rp.get("backend", "auto")),
+        tile_size=int(rp.get("tile_size", 64)),
+        bin_capacity=int(rp.get("bin_capacity", 512)),
+        max_tiles_per_splat=int(rp.get("max_tiles_per_splat", 4)),
     )
 
 

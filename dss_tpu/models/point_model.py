@@ -116,7 +116,7 @@ def point_model_forward(
         elif settings.Vrk_isotropic:
             vrk_h = compute_vrk_h_isotropic(params.points, active)
 
-    rgba, _, visible = render_views(
+    rgba, frags, visible = render_views(
         params.points,
         normals,
         params.colors,
@@ -147,7 +147,13 @@ def point_model_forward(
         visibility=jax.lax.stop_gradient(visibility),
         inmask=jax.lax.stop_gradient(inmask),
     )
-    return {"img_pred": img_pred, "mask_img_pred": mask_pred}, new_filters
+    return {
+        "img_pred": img_pred,
+        "mask_img_pred": mask_pred,
+        # total candidates dropped by static binning budgets across views —
+        # the pallas backend's "sanitizer" counter; 0 on the exact backend
+        "bin_overflow": jax.lax.stop_gradient(jnp.sum(frags.overflow)),
+    }, new_filters
 
 
 def render_model(

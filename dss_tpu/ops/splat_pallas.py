@@ -430,9 +430,9 @@ def rasterize_forward_pallas(
     """Forward rasterization (one view) via tile binning + Pallas fragment
     kernel.  Returns (idx, zbuf, qvalue, occupancy) with the same semantics as
     dss_tpu.render.rasterizer._rasterize_rows; with_extras additionally
-    returns (frag_scaler (S,S,K), visible (P,)) computed in-kernel — this
-    saves the big per-fragment gathers and the 1.3M-element visibility
-    segment_sum of the unfused path."""
+    returns (frag_scaler (S,S,K), visible (P,), rgbw (S,S,4), overflow ())
+    computed in-kernel — this saves the big per-fragment gathers and the
+    1.3M-element visibility segment_sum of the unfused path."""
     s = image_size
     t = tile_size
     assert s % t == 0, "image_size must be a multiple of tile_size"
@@ -538,7 +538,7 @@ def rasterize_forward_pallas(
     vis = sorted_segment_sum(vis_t.reshape(-1, 1), seg, p)[:, 0]
     visible = vis > 0.0
     rgbw = untile(rgb_t, 4)  # (S, S, 4): weighted rgb sums + weight sum
-    return idx, zbuf, qv, occ, frag_scaler, visible, rgbw
+    return idx, zbuf, qv, occ, frag_scaler, visible, rgbw, binned.overflow
 
 
 # ---------------------------------------------------------------------------
@@ -613,6 +613,73 @@ def _bwd_kernel(
     jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
+def masked_median(vals: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Median of vals[mask] via ONE ascending sort (invalid → +inf pushes to
+    the tail) + two dynamic gathers — nanmedian's full nan-aware reduction
+    costs an extra pass per view.  Returns 0 when nothing is valid."""
+    v = jnp.where(mask, vals, jnp.inf)
+    sv = jnp.sort(v)
+    n = jnp.sum(mask.astype(jnp.int32))
+    lo = jnp.maximum((n - 1) // 2, 0)
+    hi = jnp.maximum(n // 2, 0)
+    med = 0.5 * (sv[lo] + sv[hi])
+    return jnp.where(n > 0, med, 0.0)
+
+
+def bin_for_occ_backward(
+    pts: jnp.ndarray,
+    radii: jnp.ndarray,
+    visible: jnp.ndarray,
+    radii_backward_scaler,
+    image_size: int,
+    tile_size: int,
+    bin_capacity: int,
+    max_tiles_xy: int,
+) -> Tuple[BinnedSplats, jnp.ndarray]:
+    """Support-binning for the occupancy backward.  Depends only on FORWARD
+    quantities (positions, radii, visibility, the annealed scaler) — so the
+    custom-VJP forward builds it once, keeps it as a residual, and its
+    overflow count is observable at runtime (the gradient-only backward path
+    could never report it).  Returns (binned, cur_r²)."""
+    p = pts.shape[0]
+
+    # Search radius = median of visible splat radii, both axes pooled, ×
+    # annealed scaler (reference rasterizer.py:888; must match the spec
+    # _occ_backward's nanmedian over the (P, 2) pool).
+    cur_r = (
+        masked_median(radii.reshape(-1), jnp.repeat(visible, 2))
+        * radii_backward_scaler
+    )
+    cur_r = jnp.where(jnp.isfinite(cur_r), cur_r, 0.0)
+    cur_r2 = cur_r * cur_r
+
+    # Candidates: visible points only, support circle = cur_r around the
+    # point — bin with per-splat extra radius so every contributing
+    # (pixel, point) pair lands in some tile's list.  Unscaled radii ride
+    # along for the outside-splat test.  Invisible points are excluded by a
+    # pz = −1 sentinel (extra_radius would otherwise make them "live").
+    radii_for_bin = jnp.where(visible[:, None], radii, 0.0)
+    pts_for_bin = jnp.where(
+        visible[:, None], pts, jnp.array([2.0, 2.0, -1.0], pts.dtype)
+    )
+    binned = bin_splats(
+        pts_for_bin,
+        jnp.zeros((p, 3), jnp.float32),
+        jnp.zeros((p,), jnp.float32),
+        radii_for_bin,
+        image_size,
+        tile_size,
+        bin_capacity,
+        max_tiles_x=max_tiles_xy,
+        max_tiles_y=max_tiles_xy,
+        extra_radius=cur_r,
+        sort_by_depth=False,
+        backward_channels=True,  # 5-ch table stores the UNSCALED radii;
+        # padding gets pz = −1 so pt_ok rejects it
+    )
+    return binned, cur_r2
+
+
 def occ_backward_pallas(
     pts: jnp.ndarray,
     radii: jnp.ndarray,
@@ -627,42 +694,31 @@ def occ_backward_pallas(
 ) -> jnp.ndarray:
     """Occupancy xy-gradient via support-binned Pallas reduction.  Semantics
     contract: dss_tpu.render.rasterizer._occ_backward (the executable spec)."""
+    binned, cur_r2 = bin_for_occ_backward(
+        pts, radii, visible, radii_backward_scaler,
+        image_size, tile_size, bin_capacity, max_tiles_xy,
+    )
+    return occ_backward_from_binned(
+        binned, cur_r2, grad_occ, pts.shape[0],
+        image_size, tile_size, bin_capacity, chunk,
+    )
+
+
+def occ_backward_from_binned(
+    binned: BinnedSplats,
+    cur_r2: jnp.ndarray,
+    grad_occ: jnp.ndarray,
+    p: int,
+    image_size: int,
+    tile_size: int,
+    bin_capacity: int,
+    chunk: int = 128,
+) -> jnp.ndarray:
+    """Occ-backward kernel over a prebuilt support-binned candidate table."""
     s = image_size
     t = tile_size
     nt = s // t
     n_tiles = nt * nt
-    p = pts.shape[0]
-
-    r_pool = jnp.where(visible[:, None], radii, jnp.nan)
-    cur_r = jnp.nanmedian(r_pool) * radii_backward_scaler
-    cur_r = jnp.where(jnp.isfinite(cur_r), cur_r, 0.0)
-    cur_r2 = cur_r * cur_r
-
-    # Candidates: visible points only, support circle = cur_r around the
-    # point — bin with per-splat extra radius so every contributing
-    # (pixel, point) pair lands in some tile's list.  Unscaled radii ride
-    # along for the outside-splat test.  Invisible points are excluded by a
-    # pz = −1 sentinel (extra_radius would otherwise make them "live").
-    radii_masked = jnp.where(visible[:, None], radii, 0.0)
-    radii_for_bin = radii_masked
-    pts_for_bin = jnp.where(
-        visible[:, None], pts, jnp.array([2.0, 2.0, -1.0], pts.dtype)
-    )
-    binned = bin_splats(
-        pts_for_bin,
-        jnp.zeros((p, 3), jnp.float32),
-        jnp.zeros((p,), jnp.float32),
-        radii_for_bin,
-        s,
-        t,
-        bin_capacity,
-        max_tiles_x=max_tiles_xy,
-        max_tiles_y=max_tiles_xy,
-        extra_radius=cur_r,
-        sort_by_depth=False,
-        backward_channels=True,  # 5-ch table stores the UNSCALED radii;
-        # padding gets pz = −1 so pt_ok rejects it
-    )
     tile_data = binned.tile_data
 
     # Per-tile pixel gradients, padded to a VMEM-friendly row count.
@@ -744,52 +800,83 @@ def rasterize_points_pallas(
     gradients only to pts_screen (occupancy field + zbuf scatter) and, when
     `features` is given, to features through the fused composite.
 
-    Returns (idx, zbuf, qvalue, occupancy, frag_scaler, visible, rgbw) where
-    rgbw (S, S, 4) carries the weighted rgb sums + weight sum computed
-    in-kernel (weights = exp(-Q/2)·scaler over depth-merge survivors, treated
-    as locally constant per the reference semantics, rasterizer.py:562-565).
+    Returns (idx, zbuf, qvalue, occupancy, frag_scaler, visible, rgbw,
+    overflow) where rgbw (S, S, 4) carries the weighted rgb sums + weight sum
+    computed in-kernel (weights = exp(-Q/2)·scaler over depth-merge survivors,
+    treated as locally constant per the reference semantics,
+    rasterizer.py:562-565) and overflow () int32 counts the candidates
+    dropped by the static tile/capacity budgets across the forward AND the
+    occ-backward binning — nonzero means fragments or silhouette gradients
+    were lost and the budgets need raising.
     """
-    t, cap, chunk, mt = tile_config
-    return rasterize_forward_pallas(
+    out, _binned_bwd, _cur_r2 = _rasterize_with_bwd_table(
+        image_size, points_per_pixel, tile_config,
         pts_screen, ellipse_params, cutoff, radii,
-        depth_merging_threshold, image_size, points_per_pixel,
-        tile_size=t, bin_capacity=cap, chunk=chunk, max_tiles_xy=mt,
-        scaler=scaler, with_extras=True, features=features,
+        depth_merging_threshold, radii_backward_scaler, scaler, features,
     )
+    return out
+
+
+def _bwd_tile_budget(tile_config):
+    t, cap, chunk, mt = tile_config
+    # Support AABB side = 2·(radius + scaled-median) px: ~70 px at the
+    # initial scaler, spanning ≤ 3 tiles of 64 — a 4-tile budget covers it
+    # with margin (36-slot budgets doubled the pair-sort cost at 100k pts).
+    # bin_splats reports (not silently drops) span overflow.
+    return t, max(cap, 512), chunk, max(mt, 4)
+
+
+def _rasterize_with_bwd_table(image_size, points_per_pixel, tile_config,
+                              pts_screen, ellipse_params, cutoff, radii,
+                              dmt, radii_backward_scaler, scaler, features):
+    t, cap, chunk, mt = tile_config
+    idx, zbuf, qv, occ, frag_scaler, visible, rgbw, fwd_overflow = (
+        rasterize_forward_pallas(
+            pts_screen, ellipse_params, cutoff, radii,
+            dmt, image_size, points_per_pixel,
+            tile_size=t, bin_capacity=cap, chunk=chunk, max_tiles_xy=mt,
+            scaler=scaler, with_extras=True, features=features,
+        )
+    )
+    # The occ-backward candidate table depends only on forward quantities —
+    # build it here so (a) its overflow is part of the observable output and
+    # (b) the backward pass skips the bin entirely.
+    bt, bcap, _, bmt = _bwd_tile_budget(tile_config)
+    binned_bwd, cur_r2 = bin_for_occ_backward(
+        pts_screen, radii, visible, radii_backward_scaler,
+        image_size, bt, bcap, bmt,
+    )
+    overflow = (fwd_overflow + binned_bwd.overflow).astype(jnp.int32)
+    out = (idx, zbuf, qv, occ, frag_scaler, visible, rgbw, overflow)
+    return out, binned_bwd, cur_r2
 
 
 def _pallas_fwd(image_size, points_per_pixel, tile_config, pts_screen,
                 ellipse_params, cutoff, radii, dmt, radii_backward_scaler,
                 scaler=None, features=None):
-    out = rasterize_points_pallas(
+    out, binned_bwd, cur_r2 = _rasterize_with_bwd_table(
         image_size, points_per_pixel, tile_config,
         pts_screen, ellipse_params, cutoff, radii, dmt, radii_backward_scaler,
         scaler, features,
     )
-    # residuals: idx for zbuf scatter, in-kernel visibility for the occ
-    # backward, qvalue+frag_scaler to rebuild composite weights for the
-    # feature gradient
-    return out, (pts_screen, radii, out[0], out[2], out[4], out[5],
-                 radii_backward_scaler)
+    # residuals: idx for zbuf scatter, the prebuilt occ-backward candidate
+    # table, qvalue+frag_scaler to rebuild composite weights for the feature
+    # gradient
+    return out, (pts_screen, out[0], out[2], out[4], binned_bwd, cur_r2)
 
 
 def _pallas_bwd(image_size, points_per_pixel, tile_config, residuals, grads):
     from dss_tpu.render.rasterizer import _zbuf_backward
 
-    (pts_screen, radii, idx, qvalue, frag_scaler, visible,
-     radii_backward_scaler) = residuals
-    _, grad_zbuf, _grad_q, grad_occ, _grad_sc, _grad_vis, grad_rgbw = grads
+    (pts_screen, idx, qvalue, frag_scaler, binned_bwd, cur_r2) = residuals
+    (_, grad_zbuf, _grad_q, grad_occ, _grad_sc, _grad_vis, grad_rgbw,
+     _grad_of) = grads
     p = pts_screen.shape[0]
-    t, cap, chunk, mt = tile_config
+    bt, bcap, chunk, _ = _bwd_tile_budget(tile_config)
 
-    # Support AABB side = 2·(radius + scaled-median) px: ~70 px at the
-    # initial scaler, spanning ≤ 3 tiles of 64 — a 4-tile budget covers it
-    # with margin (36-slot budgets doubled the pair-sort cost at 100k pts).
-    # bin_splats reports (not silently drops) span overflow.
-    grad_xy = occ_backward_pallas(
-        pts_screen, radii, visible, grad_occ, radii_backward_scaler,
-        image_size, tile_size=t, bin_capacity=max(cap, 512), chunk=chunk,
-        max_tiles_xy=max(mt, 4),
+    grad_xy = occ_backward_from_binned(
+        binned_bwd, cur_r2, grad_occ, p,
+        image_size, tile_size=bt, bin_capacity=bcap, chunk=chunk,
     )
     # zbuf grads are usually materialized zeros (no depth loss in the default
     # workloads) — custom_vjp can't see that statically, but a runtime cond
@@ -815,7 +902,7 @@ def _pallas_bwd(image_size, points_per_pixel, tile_config, residuals, grads):
         grad_pts,
         jnp.zeros((p, 3), pts_screen.dtype),
         jnp.zeros((p,), pts_screen.dtype),
-        jnp.zeros_like(radii),
+        jnp.zeros((p, 2), pts_screen.dtype),
         jnp.zeros(()),
         jnp.zeros(()),
         jnp.zeros((p,), pts_screen.dtype),

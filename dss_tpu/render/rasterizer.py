@@ -58,6 +58,13 @@ class Fragments:
     zbuf: jnp.ndarray  # (S, S, K) view-space depth, -1 padded
     qvalue: jnp.ndarray  # (S, S, K) conic value Q, -1 padded
     occupancy: jnp.ndarray  # (S, S) float {0, 1}
+    # () int32: candidates dropped by the pallas backend's static tile/
+    # capacity budgets (fwd + occ-bwd binning); 0 on the exact reference
+    # backend.  Nonzero at runtime = lost fragments/gradients — raise
+    # bin_capacity / max_tiles_per_splat.
+    overflow: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32)
+    )
 
 
 def pixel_ndc_coords(image_size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:

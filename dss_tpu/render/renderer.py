@@ -92,7 +92,7 @@ def render_single_view(
         n_tiles = (settings.image_size // tile_size) ** 2
         bin_capacity = min(p_cap, max(settings.bin_capacity, 4 * p_cap // max(n_tiles, 1)))
 
-        idx, zbuf, qvalue, occ, frag_scaler, visible, rgbw = rasterize_points_pallas(
+        idx, zbuf, qvalue, occ, frag_scaler, visible, rgbw, overflow = rasterize_points_pallas(
             settings.image_size,
             settings.points_per_pixel,
             (
@@ -110,7 +110,10 @@ def render_single_view(
             splats.scaler,
             shaded,
         )
-        fragments = Fragments(idx=idx, zbuf=zbuf, qvalue=qvalue, occupancy=occ)
+        fragments = Fragments(
+            idx=idx, zbuf=zbuf, qvalue=qvalue, occupancy=occ,
+            overflow=overflow,
+        )
         # Compositing was fused into the fragment kernel: rgbw carries the
         # weighted rgb sums + weight sum; only the norm division remains.
         if normalize_composite:

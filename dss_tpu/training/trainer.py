@@ -155,6 +155,10 @@ def make_train_step(
             cfg.lambda_rgb,
             cfg.lambda_silhouette,
         )
+        # runtime binning-overflow counter (0 unless the pallas backend's
+        # static budgets dropped candidates — then fragments/gradients were
+        # lost and bin_capacity / max_tiles_per_splat must be raised)
+        parts = {**parts, "bin_overflow": out["bin_overflow"]}
         # Regularizers on the source-space cloud (trainer.py:314-330),
         # rebuild_knn=True per step.
         if cfg.lambda_proj > 0 or cfg.lambda_repel > 0:

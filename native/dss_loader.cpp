@@ -170,7 +170,10 @@ int dss_load_images_f32(void* pool_ptr, const char** paths, int n, float* out,
                         int h, int w, int c) {
   auto* pool = static_cast<ThreadPool*>(pool_ptr);
   std::atomic<int> failures{0};
-  std::atomic<int> done{0};
+  // done is guarded by mu: incrementing it outside the lock lets the waiter
+  // see done == n and destroy mu/cv while the final worker is still locking
+  // them (use-after-free at teardown).
+  int done = 0;
   std::mutex mu;
   std::condition_variable cv;
   for (int i = 0; i < n; ++i) {
@@ -178,14 +181,14 @@ int dss_load_images_f32(void* pool_ptr, const char** paths, int n, float* out,
     float* dst = out + (size_t)i * h * w * c;
     pool->submit([&, path, dst] {
       if (!decode_png_f32(path, dst, h, w, c)) failures++;
-      if (++done == n) {
+      {
         std::lock_guard<std::mutex> lk(mu);
-        cv.notify_one();
+        if (++done == n) cv.notify_one();
       }
     });
   }
   std::unique_lock<std::mutex> lk(mu);
-  cv.wait(lk, [&] { return done.load() == n; });
+  cv.wait(lk, [&] { return done == n; });
   return failures.load();
 }
 

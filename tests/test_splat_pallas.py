@@ -96,6 +96,83 @@ class TestBinning:
         )
         assert int(b.overflow) == 16  # 20 candidates, capacity 4
 
+    def test_masked_median_matches_nanmedian(self):
+        from dss_tpu.ops.splat_pallas import masked_median
+
+        rng = np.random.default_rng(11)
+        for n, frac in [(101, 0.5), (100, 0.3), (7, 1.0), (5, 0.0)]:
+            vals = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+            mask = jnp.asarray(rng.random(n) < frac)
+            got = float(masked_median(vals, mask))
+            if not bool(mask.any()):
+                assert got == 0.0
+            else:
+                want = float(np.median(np.asarray(vals)[np.asarray(mask)]))
+                np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+class TestOverflowSurfacing:
+    """The pallas backend's static binning budgets must be observable at
+    runtime (VERDICT: 'silent truncation in practice'); Fragments.overflow
+    carries the exact fwd+occ-bwd dropped-candidate count."""
+
+    def _render(self, settings):
+        from dss_tpu.render.renderer import render_single_view
+
+        pts = jnp.asarray(fibonacci_sphere(200, 0.5))
+        normals = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+        colors = jnp.full_like(pts, 0.6)
+        mask = jnp.ones((200,), bool)
+        r, t = look_at_view_transform(dist=2.0, elev=15.0, azim=40.0)
+        cam = FoVPerspectiveCameras.create(r, t, fov=60.0)
+        _, frags, _ = render_single_view(
+            pts, normals, colors, mask, cam, None, settings
+        )
+        return frags
+
+    def test_clean_render_reports_zero(self):
+        st = RasterSettings(
+            image_size=64, points_per_pixel=5, backend="pallas",
+            tile_size=16, bin_capacity=256,
+        )
+        assert int(self._render(st).overflow) == 0
+
+    def test_span_overflow_reported(self):
+        # Large backward support (scaler 50 ≈ whole image) with a 1-tile
+        # span budget must report dropped occ-backward candidates.
+        st = RasterSettings(
+            image_size=64, points_per_pixel=5, backend="pallas",
+            tile_size=16, bin_capacity=256, max_tiles_per_splat=1,
+            radii_backward_scaler=50.0,
+        )
+        assert int(self._render(st).overflow) > 0
+
+    def test_train_step_metric(self):
+        from dss_tpu.models.point_model import PointModelParams
+        from dss_tpu.training.trainer import (
+            AnnealSchedule,
+            TrainConfig,
+            create_train_state,
+            make_optimizer,
+            make_train_step,
+        )
+
+        pts = jnp.asarray(fibonacci_sphere(128, 0.5))
+        normals = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+        params = PointModelParams.create(pts, normals, jnp.full_like(pts, 0.6))
+        r, t = look_at_view_transform(dist=2.0, elev=10.0, azim=20.0)
+        cams = FoVPerspectiveCameras.create(r, t, fov=60.0)
+        st = RasterSettings(image_size=32, points_per_pixel=3, backend="pallas",
+                            tile_size=16, bin_capacity=128)
+        optimizer = make_optimizer()
+        step = make_train_step(optimizer, st, TrainConfig(), AnnealSchedule())
+        state = create_train_state(params, optimizer)
+        img = jnp.zeros((1, 32, 32, 3))
+        mask_img = jnp.ones((1, 32, 32))
+        _, metrics = step(state, cams, None, img, mask_img)
+        assert "bin_overflow" in metrics
+        assert int(metrics["bin_overflow"]) == 0
+
 
 class TestForwardParity:
     @pytest.mark.parametrize("image_size", [32, 64])
