@@ -48,9 +48,13 @@ from jax.experimental.pallas import tpu as pltpu
 INF = jnp.inf
 
 # Channel layout of the per-candidate data passed to the forward kernel.
+# _CH_ID carries the global splat id as f32 (exact for P < 2^24) so the
+# kernel can emit global fragment ids directly — the alternative, mapping
+# in-tile positions back through tile_ids afterwards, is a 10.5M-element
+# gather that measured 210 ms/step at 512²×8 views (58% of the step).
 (_CH_PX, _CH_PY, _CH_PZ, _CH_A, _CH_B, _CH_C, _CH_CUT, _CH_RX, _CH_RY,
- _CH_SC, _CH_R, _CH_G, _CH_B2) = range(13)
-N_CHANNELS = 13
+ _CH_SC, _CH_R, _CH_G, _CH_B2, _CH_ID) = range(14)
+N_CHANNELS = 14
 
 # Reduced layout for the occupancy-backward kernel (rx/ry = UNSCALED radii
 # for the outside-splat test; the scaled support only affects binning).
@@ -244,11 +248,13 @@ def bin_splats(
                 features[:, 0] if features is not None else zeros,
                 features[:, 1] if features is not None else zeros,
                 features[:, 2] if features is not None else zeros,
+                jnp.arange(p, dtype=jnp.float32),
             ],
             axis=1,
         )
         sentinel = jnp.array(
-            [2.0, 2.0, -1.0, 0.0, 0.0, 0.0, -INF, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+            [2.0, 2.0, -1.0, 0.0, 0.0, 0.0, -INF, 0.0, 0.0, 0.0, 0.0, 0.0,
+             0.0, -1.0],
             jnp.float32,
         )
     rows = src.astype(jnp.float32)[safe_id]  # (n_tiles, M, C)
@@ -273,7 +279,7 @@ def _fwd_kernel(
     dmt_ref,  # (1, 1) SMEM: depth merging threshold (inputs precede outputs)
     z_out,  # (1, K, TT)
     q_out,  # (1, K, TT)
-    pos_out,  # (1, K, TT) f32 candidate position (−1 = empty)
+    pos_out,  # (1, K, TT) f32 GLOBAL splat id of the fragment (−1 = empty)
     cnt_out,  # (1, 1, TT) accepted count
     sc_out,  # (1, K, TT) per-fragment EWA scaler
     vis_out,  # (1, 1, M) per-candidate visibility flag (slot < K AND survives
@@ -329,6 +335,7 @@ def _fwd_kernel(
         cr = data_ref[0, _CH_R, sl][None, :]
         cg = data_ref[0, _CH_G, sl][None, :]
         cb = data_ref[0, _CH_B2, sl][None, :]
+        idf = data_ref[0, _CH_ID, sl][None, :]
 
         dx = xf - px  # (TT, CM)
         dy = yf - py
@@ -346,9 +353,6 @@ def _fwd_kernel(
         slot = cnt[:, None] + incl - accf  # (TT, CM)
         zrow = jnp.where(accept, pz, 0.0)
         qrow = jnp.where(accept, q, 0.0)
-        jpos = (
-            jax.lax.broadcasted_iota(jnp.int32, accept.shape, 1) + i * chunk
-        ).astype(jnp.float32)
 
         # fragment slot kk (static) gets exactly one accepted candidate per
         # pixel across the whole loop → accumulate rows of (K, TT).
@@ -360,7 +364,7 @@ def _fwd_kernel(
             selfs.append(self_f)
             dz.append(jnp.sum(zrow * self_f, axis=1))
             dq.append(jnp.sum(qrow * self_f, axis=1))
-            dp.append(jnp.sum((jpos + 1.0) * self_f, axis=1))  # +1: 0 = empty
+            dp.append(jnp.sum((idf + 1.0) * self_f, axis=1))  # +1: 0 = empty
             dsc.append(jnp.sum(sc * self_f, axis=1))
             dr.append(jnp.sum(cr * self_f, axis=1))
             dg.append(jnp.sum(cg * self_f, axis=1))
@@ -426,6 +430,7 @@ def rasterize_forward_pallas(
     scaler: jnp.ndarray | None = None,
     with_extras: bool = False,
     features: jnp.ndarray | None = None,
+    with_binned: bool = False,
 ):
     """Forward rasterization (one view) via tile binning + Pallas fragment
     kernel.  Returns (idx, zbuf, qvalue, occupancy) with the same semantics as
@@ -507,17 +512,12 @@ def rasterize_forward_pallas(
 
     zbuf = untile(z_t, k)
     qv = untile(q_t, k)
-    pos = untile(pos_t, k)
     cnt = untile(cnt_t, 1)[..., 0]
 
-    # Map in-tile candidate positions back to global splat ids.
-    tile_of_pix = (
-        (jnp.arange(s) // t)[:, None] * nt + (jnp.arange(s) // t)[None, :]
-    )  # (S, S)
-    pos_i = pos.astype(jnp.int32)
-    valid = pos_i >= 0
-    flat = tile_of_pix[..., None] * bin_capacity + jnp.maximum(pos_i, 0)
-    idx = jnp.where(valid, binned.tile_ids.reshape(-1)[flat], -1).astype(jnp.int32)
+    # The kernel already emitted GLOBAL splat ids (−1 = empty) — no
+    # position→id gather (10.5M-element gathers measured 210 ms/step).
+    idx = untile(pos_t, k).astype(jnp.int32)
+    valid = idx >= 0
 
     # Depth-merge truncation (candidates were depth-sorted → zbuf ascending).
     keep = valid & (zbuf - zbuf[..., :1] <= depth_merging_threshold)
@@ -538,7 +538,182 @@ def rasterize_forward_pallas(
     vis = sorted_segment_sum(vis_t.reshape(-1, 1), seg, p)[:, 0]
     visible = vis > 0.0
     rgbw = untile(rgb_t, 4)  # (S, S, 4): weighted rgb sums + weight sum
-    return idx, zbuf, qv, occ, frag_scaler, visible, rgbw, binned.overflow
+    out = (idx, zbuf, qv, occ, frag_scaler, visible, rgbw, binned.overflow)
+    if with_binned:
+        return out + (binned,)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Backward (features through the fused composite) kernel
+# ---------------------------------------------------------------------------
+
+
+def _feat_bwd_kernel(
+    counts_ref,  # (n_tiles,) SMEM scalar-prefetch: candidates per tile
+    data_ref,  # (1, C, M) VMEM: the forward candidate table (depth-sorted)
+    grad_ref,  # (1, TT, 4) VMEM: grad wrt rgbw for this tile (ch 3 unused)
+    dmt_ref,  # (1, 1) SMEM: depth merging threshold
+    gf_out,  # (1, 4, M): per-candidate Σ_pix w·grad_rgb (rows 0..2) — row 3 pad
+    *,
+    tile_size: int,
+    image_size: int,
+    n_tiles_x: int,
+    points_per_pixel: int,
+    chunk: int,
+    m: int,
+):
+    """Feature gradient of the fused composite: rgb_out[pix,c] = Σ_j w_j·c_j
+    with w treated as locally constant (reference semantics), so
+    gfeat[j,c] = Σ_pix w[pix,j]·grad_rgb[pix,c] — ONE MXU matmul per chunk
+    over the candidate table instead of a 1.3M-fragment segment sum (the
+    fragment formulation measured ~65 ms/step at 512²×8 views).
+
+    Recomputes accept/slot/window exactly as the forward kernel (candidates
+    are depth-sorted; z₀ per pixel is a running min over accepted depths)."""
+    t = tile_size
+    tt = t * t
+    k = points_per_pixel
+    g = pl.program_id(0)
+    ty = g // n_tiles_x
+    tx = g % n_tiles_x
+
+    lin = jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0)
+    row = ty * t + lin // t
+    col = tx * t + lin % t
+    inv_s = 1.0 / image_size
+    yf = 1.0 - (2.0 * row.astype(jnp.float32) + 1.0) * inv_s
+    xf = 1.0 - (2.0 * col.astype(jnp.float32) + 1.0) * inv_s
+
+    n_cand = jnp.minimum(counts_ref[g], m)
+    n_chunks = (n_cand + chunk - 1) // chunk
+    gf_out[0, :, :] = jnp.zeros((4, m), jnp.float32)
+
+    row_j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    col_k = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    tri = (row_j <= col_k).astype(jnp.float32)
+    grad_t = grad_ref[0]  # (TT, 4)
+
+    def body(i, carry):
+        z0, cnt = carry
+        sl = pl.ds(i * chunk, chunk)
+        px = data_ref[0, _CH_PX, sl][None, :]
+        py = data_ref[0, _CH_PY, sl][None, :]
+        pz = data_ref[0, _CH_PZ, sl][None, :]
+        a = data_ref[0, _CH_A, sl][None, :]
+        b = data_ref[0, _CH_B, sl][None, :]
+        c = data_ref[0, _CH_C, sl][None, :]
+        cut = data_ref[0, _CH_CUT, sl][None, :]
+        rx = data_ref[0, _CH_RX, sl][None, :]
+        ry = data_ref[0, _CH_RY, sl][None, :]
+        sc = data_ref[0, _CH_SC, sl][None, :]
+
+        dx = xf - px
+        dy = yf - py
+        q = a * dx * dx + b * dx * dy + c * dy * dy
+        accept = (
+            (pz >= 0.0)
+            & (jnp.abs(dx) <= rx)
+            & (jnp.abs(dy) <= ry)
+            & (q <= cut)
+        )
+        accf = accept.astype(jnp.float32)
+        incl = jnp.dot(accf, tri, preferred_element_type=jnp.float32)
+        slot = cnt[:, None] + incl - accf
+        z0 = jnp.minimum(z0, jnp.min(jnp.where(accept, pz, jnp.inf), axis=1))
+        in_window = (pz - z0[:, None]) <= dmt_ref[0, 0]
+        wins = accf * (slot < float(k)).astype(jnp.float32) * in_window.astype(
+            jnp.float32
+        )
+        w = jnp.exp(-0.5 * jnp.where(accept, q, 0.0)) * sc * wins  # (TT, CM)
+        # (4, TT) @ (TT, CM) on the MXU; rows 0..2 are the rgb grads
+        gf_out[0, :, sl] = jnp.dot(
+            grad_t.T, w, preferred_element_type=jnp.float32
+        )
+        cnt = cnt + jnp.sum(accf, axis=1)
+        return z0, cnt
+
+    jax.lax.fori_loop(
+        0,
+        n_chunks,
+        body,
+        (jnp.full((tt,), jnp.inf, jnp.float32), jnp.zeros((tt,), jnp.float32)),
+    )
+
+
+def feat_backward_pallas(
+    binned: BinnedSplats,
+    grad_rgbw: jnp.ndarray,  # (S, S, 4)
+    depth_merging_threshold,
+    p: int,
+    image_size: int,
+    points_per_pixel: int,
+    tile_size: int,
+    bin_capacity: int,
+    chunk: int = 128,
+) -> jnp.ndarray:
+    """Per-point feature gradient from the saved forward candidate table."""
+    s = image_size
+    t = tile_size
+    nt = s // t
+    n_tiles = nt * nt
+    tt = t * t
+
+    g_tiles = (
+        grad_rgbw.reshape(nt, t, nt, t, 4)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(n_tiles, tt, 4)
+    )
+
+    kern = functools.partial(
+        _feat_bwd_kernel,
+        tile_size=t,
+        image_size=s,
+        n_tiles_x=nt,
+        points_per_pixel=points_per_pixel,
+        chunk=chunk,
+        m=bin_capacity,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, N_CHANNELS, bin_capacity),
+                lambda i, counts: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, tt, 4), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 4, bin_capacity),
+                lambda i, counts: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+    )
+    (gf_t,) = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, 4, bin_capacity), jnp.float32),
+        ],
+        interpret=_interpret_mode(),
+    )(
+        binned.tile_counts,
+        binned.tile_data,
+        g_tiles,
+        jnp.asarray(depth_merging_threshold, jnp.float32).reshape(1, 1),
+    )
+    ids = binned.tile_ids.reshape(-1)
+    seg = jnp.where(ids >= 0, ids, p)
+    partials = gf_t[:, :3, :].transpose(0, 2, 1).reshape(-1, 3)
+    return sorted_segment_sum(partials, seg, p)
 
 
 # ---------------------------------------------------------------------------
@@ -809,7 +984,7 @@ def rasterize_points_pallas(
     occ-backward binning — nonzero means fragments or silhouette gradients
     were lost and the budgets need raising.
     """
-    out, _binned_bwd, _cur_r2 = _rasterize_with_bwd_table(
+    out, _binned_fwd, _binned_bwd, _cur_r2 = _rasterize_with_bwd_table(
         image_size, points_per_pixel, tile_config,
         pts_screen, ellipse_params, cutoff, radii,
         depth_merging_threshold, radii_backward_scaler, scaler, features,
@@ -830,13 +1005,12 @@ def _rasterize_with_bwd_table(image_size, points_per_pixel, tile_config,
                               pts_screen, ellipse_params, cutoff, radii,
                               dmt, radii_backward_scaler, scaler, features):
     t, cap, chunk, mt = tile_config
-    idx, zbuf, qv, occ, frag_scaler, visible, rgbw, fwd_overflow = (
-        rasterize_forward_pallas(
-            pts_screen, ellipse_params, cutoff, radii,
-            dmt, image_size, points_per_pixel,
-            tile_size=t, bin_capacity=cap, chunk=chunk, max_tiles_xy=mt,
-            scaler=scaler, with_extras=True, features=features,
-        )
+    (idx, zbuf, qv, occ, frag_scaler, visible, rgbw, fwd_overflow,
+     binned_fwd) = rasterize_forward_pallas(
+        pts_screen, ellipse_params, cutoff, radii,
+        dmt, image_size, points_per_pixel,
+        tile_size=t, bin_capacity=cap, chunk=chunk, max_tiles_xy=mt,
+        scaler=scaler, with_extras=True, features=features, with_binned=True,
     )
     # The occ-backward candidate table depends only on forward quantities —
     # build it here so (a) its overflow is part of the observable output and
@@ -848,31 +1022,31 @@ def _rasterize_with_bwd_table(image_size, points_per_pixel, tile_config,
     )
     overflow = (fwd_overflow + binned_bwd.overflow).astype(jnp.int32)
     out = (idx, zbuf, qv, occ, frag_scaler, visible, rgbw, overflow)
-    return out, binned_bwd, cur_r2
+    return out, binned_fwd, binned_bwd, cur_r2
 
 
 def _pallas_fwd(image_size, points_per_pixel, tile_config, pts_screen,
                 ellipse_params, cutoff, radii, dmt, radii_backward_scaler,
                 scaler=None, features=None):
-    out, binned_bwd, cur_r2 = _rasterize_with_bwd_table(
+    out, binned_fwd, binned_bwd, cur_r2 = _rasterize_with_bwd_table(
         image_size, points_per_pixel, tile_config,
         pts_screen, ellipse_params, cutoff, radii, dmt, radii_backward_scaler,
         scaler, features,
     )
-    # residuals: idx for zbuf scatter, the prebuilt occ-backward candidate
-    # table, qvalue+frag_scaler to rebuild composite weights for the feature
-    # gradient
-    return out, (pts_screen, out[0], out[2], out[4], binned_bwd, cur_r2)
+    # residuals: idx for the zbuf scatter, the forward candidate table for
+    # the feature-gradient kernel, the prebuilt occ-backward candidate table
+    return out, (pts_screen, out[0], binned_fwd, binned_bwd, cur_r2, dmt)
 
 
 def _pallas_bwd(image_size, points_per_pixel, tile_config, residuals, grads):
     from dss_tpu.render.rasterizer import _zbuf_backward
 
-    (pts_screen, idx, qvalue, frag_scaler, binned_bwd, cur_r2) = residuals
+    (pts_screen, idx, binned_fwd, binned_bwd, cur_r2, dmt) = residuals
     (_, grad_zbuf, _grad_q, grad_occ, _grad_sc, _grad_vis, grad_rgbw,
      _grad_of) = grads
     p = pts_screen.shape[0]
-    bt, bcap, chunk, _ = _bwd_tile_budget(tile_config)
+    t, cap, chunk, _mt = tile_config
+    bt, bcap, _, _ = _bwd_tile_budget(tile_config)
 
     grad_xy = occ_backward_from_binned(
         binned_bwd, cur_r2, grad_occ, p,
@@ -888,15 +1062,14 @@ def _pallas_bwd(image_size, points_per_pixel, tile_config, residuals, grads):
     )
     grad_pts = jnp.concatenate([grad_xy, grad_z[:, None]], axis=-1)
 
-    # feature gradient through the fused composite: each fragment (pixel, k)
-    # with id p contributes w_frag · g_rgb(pixel); weights are constant
-    # (reference semantics), so this is one segment_sum.
-    w_frag = jnp.exp(-0.5 * qvalue) * frag_scaler  # 0 where not kept
-    g_rgb = grad_rgbw[..., :3]  # (S, S, 3); the wsum channel is non-diff
-    flat_idx = idx.reshape(-1)
-    seg = jnp.where(flat_idx >= 0, flat_idx, p)
-    contrib = (w_frag[..., None] * g_rgb[:, :, None, :]).reshape(-1, 3)
-    grad_features = sorted_segment_sum(contrib, seg, p)
+    # feature gradient through the fused composite (weights locally constant
+    # per reference semantics): per-candidate Wᵀ·grad_rgb matmul over the
+    # saved forward table + a 32k-candidate segment sum — replaces the
+    # 1.3M-fragment formulation (measured ~65 ms/step at 512²×8 views).
+    grad_features = feat_backward_pallas(
+        binned_fwd, grad_rgbw, dmt, p, image_size, points_per_pixel,
+        tile_size=t, bin_capacity=cap, chunk=chunk,
+    )
 
     return (
         grad_pts,
