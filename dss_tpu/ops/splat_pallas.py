@@ -84,7 +84,9 @@ def sorted_segment_sum(
         [jnp.zeros((1, sv.shape[1]), sv.dtype), jnp.cumsum(sv, axis=0)], axis=0
     )
     bounds = jnp.searchsorted(
-        out[0], jnp.arange(num_segments + 1, dtype=jnp.int32)
+        out[0], jnp.arange(num_segments + 1, dtype=jnp.int32),
+        method="scan_unrolled",  # ~2× over the default scan on TPU (no
+        # while-loop per bisection step; measured 17.5 → 8.7 ms at 8×262k)
     )
     return ex[bounds[1:]] - ex[bounds[:-1]]
 
@@ -281,7 +283,6 @@ def _fwd_kernel(
     q_out,  # (1, K, TT)
     pos_out,  # (1, K, TT) f32 GLOBAL splat id of the fragment (−1 = empty)
     cnt_out,  # (1, 1, TT) accepted count
-    sc_out,  # (1, K, TT) per-fragment EWA scaler
     vis_out,  # (1, 1, M) per-candidate visibility flag (slot < K AND survives
     #           the depth-merge truncation, matching reference visibility)
     rgb_out,  # (1, 4, TT): weighted rgb sums + weight sum (fused compositing)
@@ -320,7 +321,7 @@ def _fwd_kernel(
     tri = (row_j <= col_k).astype(jnp.float32)
 
     def body(i, carry):
-        fz, fq, fpos, fsc, frgb, cnt = carry
+        fz, fq, fpos, frgb, cnt = carry
         sl = pl.ds(i * chunk, chunk)
         px = data_ref[0, _CH_PX, sl][None, :]
         py = data_ref[0, _CH_PY, sl][None, :]
@@ -332,9 +333,9 @@ def _fwd_kernel(
         rx = data_ref[0, _CH_RX, sl][None, :]
         ry = data_ref[0, _CH_RY, sl][None, :]
         sc = data_ref[0, _CH_SC, sl][None, :]
-        cr = data_ref[0, _CH_R, sl][None, :]
-        cg = data_ref[0, _CH_G, sl][None, :]
-        cb = data_ref[0, _CH_B2, sl][None, :]
+        cr = data_ref[0, _CH_R, sl]  # (CM,)
+        cg = data_ref[0, _CH_G, sl]
+        cb = data_ref[0, _CH_B2, sl]
         idf = data_ref[0, _CH_ID, sl][None, :]
 
         dx = xf - px  # (TT, CM)
@@ -357,32 +358,37 @@ def _fwd_kernel(
         # fragment slot kk (static) gets exactly one accepted candidate per
         # pixel across the whole loop → accumulate rows of (K, TT).
         # (no scatter: Pallas TPU has no scatter-add lowering)
-        dz, dq, dp, dsc, dr, dg, db = [], [], [], [], [], [], []
-        selfs = []
+        dz, dq, dp = [], [], []
         for kk in range(k):
             self_f = accf * (slot == float(kk)).astype(jnp.float32)
-            selfs.append(self_f)
             dz.append(jnp.sum(zrow * self_f, axis=1))
             dq.append(jnp.sum(qrow * self_f, axis=1))
             dp.append(jnp.sum((idf + 1.0) * self_f, axis=1))  # +1: 0 = empty
-            dsc.append(jnp.sum(sc * self_f, axis=1))
-            dr.append(jnp.sum(cr * self_f, axis=1))
-            dg.append(jnp.sum(cg * self_f, axis=1))
-            db.append(jnp.sum(cb * self_f, axis=1))
         # depth-merge-aware win flag: rank 0's z for each pixel is final after
         # this chunk's dz[0] lands (candidates are depth-sorted)
         z0_now = fz[0] + dz[0]  # (TT,)
         in_window = (zrow - z0_now[:, None]) <= dmt_ref[0, 0]
-        won = sum(selfs) * in_window.astype(jnp.float32)
+        wins = (
+            accf
+            * (slot < float(k)).astype(jnp.float32)
+            * in_window.astype(jnp.float32)
+        )
+        # fused compositing: weights = exp(-Q/2)·scaler over depth-merge
+        # survivors — ONE MXU matmul (TT, CM) @ (CM, 4) per chunk instead of
+        # 3K+K per-slot masked reductions (the weight sum rides in column 3)
+        w = jnp.exp(-0.5 * qrow) * sc * wins  # (TT, CM)
+        cmat = jnp.concatenate(
+            [cr[:, None], cg[:, None], cb[:, None], jnp.ones((chunk, 1), jnp.float32)],
+            axis=1,
+        )  # (CM, 4)
+        frgb = frgb + jnp.dot(w, cmat, preferred_element_type=jnp.float32)
         fz = fz + jnp.stack(dz, axis=0)
         fq = fq + jnp.stack(dq, axis=0)
         fpos = fpos + jnp.stack(dp, axis=0)
-        fsc = fsc + jnp.stack(dsc, axis=0)
-        frgb = frgb + jnp.stack(dr + dg + db, axis=0)  # (3K, TT)
         cnt = cnt + jnp.sum(accf, axis=1)
         # per-candidate visibility: won a fragment slot in any pixel
-        vis_out[0, 0, sl] = jnp.max(won, axis=0)
-        return fz, fq, fpos, fsc, frgb, cnt
+        vis_out[0, 0, sl] = jnp.max(wins, axis=0)
+        return fz, fq, fpos, frgb, cnt
 
     # outputs written per-chunk must be cleared for the skipped chunks
     vis_out[0, 0, :] = jnp.zeros((m,), jnp.float32)
@@ -391,28 +397,17 @@ def _fwd_kernel(
         jnp.zeros((k, tt), jnp.float32),
         jnp.zeros((k, tt), jnp.float32),
         jnp.zeros((k, tt), jnp.float32),
-        jnp.zeros((k, tt), jnp.float32),
-        jnp.zeros((3 * k, tt), jnp.float32),
+        jnp.zeros((tt, 4), jnp.float32),
         jnp.zeros((tt,), jnp.float32),
     )
-    fz, fq, fpos, fsc, frgb, cnt = jax.lax.fori_loop(0, n_chunks, body, init)
+    fz, fq, fpos, frgb, cnt = jax.lax.fori_loop(0, n_chunks, body, init)
 
     filled = fpos > 0.0
     z_out[0] = jnp.where(filled, fz, -1.0)
     q_out[0] = jnp.where(filled, fq, -1.0)
     pos_out[0] = fpos - 1.0  # −1 = empty
     cnt_out[0] = cnt[None, :]
-    sc_out[0] = fsc
-
-    # fused compositing: weights = exp(-Q/2)·scaler over depth-merge
-    # survivors; emit weighted rgb sums + the weight sum (the norm division
-    # happens outside so its autodiff stays standard)
-    keep = (filled & ((fz - fz[0:1]) <= dmt_ref[0, 0])).astype(jnp.float32)
-    w = jnp.exp(-0.5 * fq) * fsc * keep  # (K, TT)
-    rgb_out[0, 0, :] = jnp.sum(w * frgb[0:k], axis=0)
-    rgb_out[0, 1, :] = jnp.sum(w * frgb[k:2 * k], axis=0)
-    rgb_out[0, 2, :] = jnp.sum(w * frgb[2 * k:3 * k], axis=0)
-    rgb_out[0, 3, :] = jnp.sum(w, axis=0)
+    rgb_out[0] = frgb.T  # (4, TT)
 
 
 def rasterize_forward_pallas(
@@ -477,12 +472,11 @@ def rasterize_forward_pallas(
             pl.BlockSpec((1, k, tt), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k, tt), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tt), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, tt), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bin_capacity), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, tt), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
     )
-    z_t, q_t, pos_t, cnt_t, sc_t, vis_t, rgb_t = pl.pallas_call(
+    z_t, q_t, pos_t, cnt_t, vis_t, rgb_t = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
@@ -493,7 +487,6 @@ def rasterize_forward_pallas(
             jax.ShapeDtypeStruct((n_tiles, k, tt), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, k, tt), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1, tt), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, k, tt), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1, bin_capacity), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 4, tt), jnp.float32),
         ],
@@ -528,7 +521,11 @@ def rasterize_forward_pallas(
     if not with_extras:
         return idx, zbuf, qv, occ
 
-    frag_scaler = jnp.where(keep, untile(sc_t, k), 0.0)
+    # per-fragment scaler is no longer materialized by the kernel: nothing on
+    # the training path reads it (the composite is fused; the feature gradient
+    # recomputes weights from the candidate table), and the gather that would
+    # rebuild it is exactly the 1.3M-fragment pattern this module avoids.
+    frag_scaler = None
     # candidate visibility flags → per-point over (n_tiles·M) candidates
     # instead of S·S·K fragments; the flags are 0/1 so "any" = sorted sum > 0
     # (scatter-max serializes like scatter-add).
