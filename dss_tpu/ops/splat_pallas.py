@@ -410,6 +410,198 @@ def _fwd_kernel(
     rgb_out[0] = frgb.T  # (4, TT)
 
 
+def _fwd_kernel_lean(
+    counts_ref,  # (n_tiles,) SMEM scalar-prefetch: candidates per tile
+    data_ref,  # (1, C, M) VMEM
+    dmt_ref,  # (1, 1) SMEM: depth merging threshold
+    cnt_out,  # (1, 1, TT) accepted count (occupancy = cnt > 0)
+    vis_out,  # (1, 1, M) per-candidate visibility flag
+    rgb_out,  # (1, 4, TT): weighted rgb sums + weight sum (fused compositing)
+    *,
+    tile_size: int,
+    image_size: int,
+    n_tiles_x: int,
+    points_per_pixel: int,
+    chunk: int,
+    m: int,
+):
+    """Training-path variant of _fwd_kernel: no per-fragment z/q/id buffers —
+    nothing in the train step reads them (the composite is fused, the feature
+    gradient recomputes weights from the candidate table, visibility is
+    per-candidate).  Dropping the K-slot rank-match accumulation (3K masked
+    (TT, CM) reductions per chunk) leaves accept-test + one tri matmul + one
+    composite matmul per chunk; z₀ for the depth window is a running min."""
+    t = tile_size
+    tt = t * t
+    k = points_per_pixel
+    g = pl.program_id(0)
+    ty = g // n_tiles_x
+    tx = g % n_tiles_x
+
+    lin = jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0)
+    row = ty * t + lin // t
+    col = tx * t + lin % t
+    inv_s = 1.0 / image_size
+    yf = 1.0 - (2.0 * row.astype(jnp.float32) + 1.0) * inv_s
+    xf = 1.0 - (2.0 * col.astype(jnp.float32) + 1.0) * inv_s
+
+    n_cand = jnp.minimum(counts_ref[g], m)
+    n_chunks = (n_cand + chunk - 1) // chunk
+
+    row_j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    col_k = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    tri = (row_j <= col_k).astype(jnp.float32)
+
+    def body(i, carry):
+        z0, frgb, cnt = carry
+        sl = pl.ds(i * chunk, chunk)
+        px = data_ref[0, _CH_PX, sl][None, :]
+        py = data_ref[0, _CH_PY, sl][None, :]
+        pz = data_ref[0, _CH_PZ, sl][None, :]
+        a = data_ref[0, _CH_A, sl][None, :]
+        b = data_ref[0, _CH_B, sl][None, :]
+        c = data_ref[0, _CH_C, sl][None, :]
+        cut = data_ref[0, _CH_CUT, sl][None, :]
+        rx = data_ref[0, _CH_RX, sl][None, :]
+        ry = data_ref[0, _CH_RY, sl][None, :]
+        sc = data_ref[0, _CH_SC, sl][None, :]
+        cr = data_ref[0, _CH_R, sl]  # (CM,)
+        cg = data_ref[0, _CH_G, sl]
+        cb = data_ref[0, _CH_B2, sl]
+
+        dx = xf - px  # (TT, CM)
+        dy = yf - py
+        q = a * dx * dx + b * dx * dy + c * dy * dy
+        accept = (
+            (pz >= 0.0)
+            & (jnp.abs(dx) <= rx)
+            & (jnp.abs(dy) <= ry)
+            & (q <= cut)
+        )
+        accf = accept.astype(jnp.float32)
+        incl = jnp.dot(accf, tri, preferred_element_type=jnp.float32)
+        slot = cnt[:, None] + incl - accf  # (TT, CM)
+        # z₀ = depth of the first accepted candidate (depth-sorted) — final
+        # for any pixel that accepted anything in this or an earlier chunk
+        z0 = jnp.minimum(z0, jnp.min(jnp.where(accept, pz, jnp.inf), axis=1))
+        in_window = (pz - z0[:, None]) <= dmt_ref[0, 0]
+        wins = (
+            accf
+            * (slot < float(k)).astype(jnp.float32)
+            * in_window.astype(jnp.float32)
+        )
+        w = jnp.exp(-0.5 * jnp.where(accept, q, 0.0)) * sc * wins
+        cmat = jnp.concatenate(
+            [cr[:, None], cg[:, None], cb[:, None],
+             jnp.ones((chunk, 1), jnp.float32)],
+            axis=1,
+        )  # (CM, 4)
+        frgb = frgb + jnp.dot(w, cmat, preferred_element_type=jnp.float32)
+        cnt = cnt + jnp.sum(accf, axis=1)
+        vis_out[0, 0, sl] = jnp.max(wins, axis=0)
+        return z0, frgb, cnt
+
+    vis_out[0, 0, :] = jnp.zeros((m,), jnp.float32)
+    init = (
+        jnp.full((tt,), jnp.inf, jnp.float32),
+        jnp.zeros((tt, 4), jnp.float32),
+        jnp.zeros((tt,), jnp.float32),
+    )
+    _, frgb, cnt = jax.lax.fori_loop(0, n_chunks, body, init)
+    cnt_out[0] = cnt[None, :]
+    rgb_out[0] = frgb.T  # (4, TT)
+
+
+def rasterize_forward_pallas_lean(
+    pts: jnp.ndarray,
+    ellipse: jnp.ndarray,
+    cutoff: jnp.ndarray,
+    radii: jnp.ndarray,
+    depth_merging_threshold,
+    image_size: int,
+    points_per_pixel: int,
+    tile_size: int = 64,
+    bin_capacity: int = 512,
+    chunk: int = 128,
+    max_tiles_xy: int = 4,
+    scaler: jnp.ndarray | None = None,
+    features: jnp.ndarray | None = None,
+):
+    """Lean forward: returns (occ (S,S), visible (P,), rgbw (S,S,4),
+    overflow (), binned) — same math as the full path for those outputs
+    (parity-tested), no per-fragment buffers."""
+    s = image_size
+    t = tile_size
+    assert s % t == 0, "image_size must be a multiple of tile_size"
+    nt = s // t
+    n_tiles = nt * nt
+    tt = t * t
+
+    binned = bin_splats(
+        pts, ellipse, cutoff, radii, s, t, bin_capacity,
+        max_tiles_x=max_tiles_xy, max_tiles_y=max_tiles_xy,
+        scaler=scaler, features=features,
+    )
+
+    kern = functools.partial(
+        _fwd_kernel_lean,
+        tile_size=t,
+        image_size=s,
+        n_tiles_x=nt,
+        points_per_pixel=points_per_pixel,
+        chunk=chunk,
+        m=bin_capacity,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, N_CHANNELS, bin_capacity),
+                lambda i, counts: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tt), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bin_capacity), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, tt), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    cnt_t, vis_t, rgb_t = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, 1, tt), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, bin_capacity), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 4, tt), jnp.float32),
+        ],
+        interpret=_interpret_mode(),
+    )(
+        binned.tile_counts,
+        binned.tile_data,
+        jnp.asarray(depth_merging_threshold, jnp.float32).reshape(1, 1),
+    )
+
+    def untile(x, ch):  # (n_tiles, ch, tt) → (S, S, ch)
+        x = x.reshape(nt, nt, ch, t, t)
+        x = jnp.transpose(x, (0, 3, 1, 4, 2))
+        return x.reshape(s, s, ch)
+
+    occ = (untile(cnt_t, 1)[..., 0] > 0).astype(jnp.float32)
+    rgbw = untile(rgb_t, 4)
+    p = pts.shape[0]
+    ids = binned.tile_ids.reshape(-1)
+    seg = jnp.where(ids >= 0, ids, p)
+    vis = sorted_segment_sum(vis_t.reshape(-1, 1), seg, p)[:, 0]
+    visible = vis > 0.0
+    return occ, visible, rgbw, binned.overflow, binned
+
+
 def rasterize_forward_pallas(
     pts: jnp.ndarray,
     ellipse: jnp.ndarray,
@@ -1081,3 +1273,101 @@ def _pallas_bwd(image_size, points_per_pixel, tile_config, residuals, grads):
 
 
 rasterize_points_pallas.defvjp(_pallas_fwd, _pallas_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Lean differentiable entry point (training path: no fragment buffers)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def rasterize_points_pallas_lean(
+    image_size: int,
+    points_per_pixel: int,
+    tile_config: Tuple[int, int, int, int],
+    pts_screen: jnp.ndarray,
+    ellipse_params: jnp.ndarray,
+    cutoff: jnp.ndarray,
+    radii: jnp.ndarray,
+    depth_merging_threshold,
+    radii_backward_scaler,
+    scaler=None,
+    features=None,
+):
+    """Training-path rasterization: returns only what the train step consumes
+    — (occupancy (S,S), visible (P,), rgbw (S,S,4), overflow ()).  Identical
+    math to rasterize_points_pallas for those outputs (parity-tested); skips
+    the per-fragment z/q/id buffers, their untiling, and the zbuf-grad path
+    (no depth losses in the lean contract — use the full entry point for
+    those)."""
+    out, _bf, _bb, _cr2 = _rasterize_lean_with_tables(
+        image_size, points_per_pixel, tile_config,
+        pts_screen, ellipse_params, cutoff, radii,
+        depth_merging_threshold, radii_backward_scaler, scaler, features,
+    )
+    return out
+
+
+def _rasterize_lean_with_tables(image_size, points_per_pixel, tile_config,
+                                pts_screen, ellipse_params, cutoff, radii,
+                                dmt, radii_backward_scaler, scaler, features):
+    t, cap, chunk, mt = tile_config
+    occ, visible, rgbw, fwd_overflow, binned_fwd = rasterize_forward_pallas_lean(
+        pts_screen, ellipse_params, cutoff, radii,
+        dmt, image_size, points_per_pixel,
+        tile_size=t, bin_capacity=cap, chunk=chunk, max_tiles_xy=mt,
+        scaler=scaler, features=features,
+    )
+    bt, bcap, _, bmt = _bwd_tile_budget(tile_config)
+    binned_bwd, cur_r2 = bin_for_occ_backward(
+        pts_screen, radii, visible, radii_backward_scaler,
+        image_size, bt, bcap, bmt,
+    )
+    overflow = (fwd_overflow + binned_bwd.overflow).astype(jnp.int32)
+    out = (occ, visible, rgbw, overflow)
+    return out, binned_fwd, binned_bwd, cur_r2
+
+
+def _pallas_lean_fwd(image_size, points_per_pixel, tile_config, pts_screen,
+                     ellipse_params, cutoff, radii, dmt,
+                     radii_backward_scaler, scaler=None, features=None):
+    out, binned_fwd, binned_bwd, cur_r2 = _rasterize_lean_with_tables(
+        image_size, points_per_pixel, tile_config,
+        pts_screen, ellipse_params, cutoff, radii, dmt,
+        radii_backward_scaler, scaler, features,
+    )
+    return out, (pts_screen, binned_fwd, binned_bwd, cur_r2, dmt)
+
+
+def _pallas_lean_bwd(image_size, points_per_pixel, tile_config, residuals,
+                     grads):
+    (pts_screen, binned_fwd, binned_bwd, cur_r2, dmt) = residuals
+    (grad_occ, _grad_vis, grad_rgbw, _grad_of) = grads
+    p = pts_screen.shape[0]
+    t, cap, chunk, _mt = tile_config
+    bt, bcap, _, _ = _bwd_tile_budget(tile_config)
+
+    grad_xy = occ_backward_from_binned(
+        binned_bwd, cur_r2, grad_occ, p,
+        image_size, tile_size=bt, bin_capacity=bcap, chunk=chunk,
+    )
+    grad_pts = jnp.concatenate(
+        [grad_xy, jnp.zeros((p, 1), pts_screen.dtype)], axis=-1
+    )
+    grad_features = feat_backward_pallas(
+        binned_fwd, grad_rgbw, dmt, p, image_size, points_per_pixel,
+        tile_size=t, bin_capacity=cap, chunk=chunk,
+    )
+    return (
+        grad_pts,
+        jnp.zeros((p, 3), pts_screen.dtype),
+        jnp.zeros((p,), pts_screen.dtype),
+        jnp.zeros((p, 2), pts_screen.dtype),
+        jnp.zeros(()),
+        jnp.zeros(()),
+        jnp.zeros((p,), pts_screen.dtype),
+        grad_features,
+    )
+
+
+rasterize_points_pallas_lean.defvjp(_pallas_lean_fwd, _pallas_lean_bwd)

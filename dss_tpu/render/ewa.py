@@ -78,6 +78,11 @@ class RasterSettings:
     bin_capacity: int = struct.field(pytree_node=False, default=512)
     bin_chunk: int = struct.field(pytree_node=False, default=128)
     max_tiles_per_splat: int = struct.field(pytree_node=False, default=4)
+    # Training-path fast mode (pallas backend only): skip the per-fragment
+    # idx/zbuf/qvalue buffers — nothing in the train step reads them, and the
+    # lean kernel drops the K-slot accumulation.  Set False when fragment
+    # buffers are needed (depth losses, debugging, parity tests).
+    lean_fragments: bool = struct.field(pytree_node=False, default=True)
 
 
 @struct.dataclass

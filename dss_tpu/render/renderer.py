@@ -79,7 +79,10 @@ def render_single_view(
     frag_scaler = None
     visible = None
     if backend == "pallas":
-        from dss_tpu.ops.splat_pallas import rasterize_points_pallas
+        from dss_tpu.ops.splat_pallas import (
+            rasterize_points_pallas,
+            rasterize_points_pallas_lean,
+        )
 
         # Guard against candidate-table overflow: with few tiles (small
         # images) every splat can land in every tile, so cap capacity at the
@@ -92,15 +95,13 @@ def render_single_view(
         n_tiles = (settings.image_size // tile_size) ** 2
         bin_capacity = min(p_cap, max(settings.bin_capacity, 4 * p_cap // max(n_tiles, 1)))
 
-        idx, zbuf, qvalue, occ, frag_scaler, visible, rgbw, overflow = rasterize_points_pallas(
-            settings.image_size,
-            settings.points_per_pixel,
-            (
-                tile_size,
-                bin_capacity,
-                settings.bin_chunk,
-                settings.max_tiles_per_splat,
-            ),
+        tile_config = (
+            tile_size,
+            bin_capacity,
+            settings.bin_chunk,
+            settings.max_tiles_per_splat,
+        )
+        raster_args = (
             pts_screen,
             splats.ellipse_params,
             splats.cutoff,
@@ -110,10 +111,29 @@ def render_single_view(
             splats.scaler,
             shaded,
         )
-        fragments = Fragments(
-            idx=idx, zbuf=zbuf, qvalue=qvalue, occupancy=occ,
-            overflow=overflow,
-        )
+        if settings.lean_fragments:
+            occ, visible, rgbw, overflow = rasterize_points_pallas_lean(
+                settings.image_size, settings.points_per_pixel, tile_config,
+                *raster_args,
+            )
+            empty = jnp.zeros(
+                (settings.image_size, settings.image_size, 0), jnp.float32
+            )
+            fragments = Fragments(
+                idx=empty.astype(jnp.int32), zbuf=empty, qvalue=empty,
+                occupancy=occ, overflow=overflow,
+            )
+        else:
+            idx, zbuf, qvalue, occ, _frag_scaler, visible, rgbw, overflow = (
+                rasterize_points_pallas(
+                    settings.image_size, settings.points_per_pixel,
+                    tile_config, *raster_args,
+                )
+            )
+            fragments = Fragments(
+                idx=idx, zbuf=zbuf, qvalue=qvalue, occupancy=occ,
+                overflow=overflow,
+            )
         # Compositing was fused into the fragment kernel: rgbw carries the
         # weighted rgb sums + weight sum; only the norm division remains.
         if normalize_composite:

@@ -260,10 +260,11 @@ class TestRendererBackendParity:
         cam = FoVPerspectiveCameras.create(r, t, fov=60.0)
         lights = DirectionalLights.create()
 
-        def run(backend):
+        def run(backend, lean=True):
             st = RasterSettings(
                 image_size=32, points_per_pixel=5, backface_culling=True,
                 backend=backend, tile_size=16, bin_capacity=256,
+                lean_fragments=lean,
             )
 
             def loss(p):
@@ -276,15 +277,18 @@ class TestRendererBackendParity:
             return l, rgba, vis, g
 
         l_ref, rgba_ref, vis_ref, g_ref = run("reference")
-        l_pal, rgba_pal, vis_pal, g_pal = run("pallas")
-        np.testing.assert_allclose(float(l_ref), float(l_pal), rtol=1e-5)
-        np.testing.assert_allclose(
-            np.asarray(rgba_ref), np.asarray(rgba_pal), atol=1e-5
-        )
-        np.testing.assert_array_equal(np.asarray(vis_ref), np.asarray(vis_pal))
-        np.testing.assert_allclose(
-            np.asarray(g_ref), np.asarray(g_pal), rtol=1e-3, atol=1e-4
-        )
+        for lean in (True, False):  # lean = training path, full = debug path
+            l_pal, rgba_pal, vis_pal, g_pal = run("pallas", lean=lean)
+            np.testing.assert_allclose(float(l_ref), float(l_pal), rtol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(rgba_ref), np.asarray(rgba_pal), atol=1e-5
+            )
+            np.testing.assert_array_equal(
+                np.asarray(vis_ref), np.asarray(vis_pal)
+            )
+            np.testing.assert_allclose(
+                np.asarray(g_ref), np.asarray(g_pal), rtol=1e-3, atol=1e-4
+            )
 
 
 class TestSortedSegmentSum:
