@@ -66,6 +66,19 @@ def _interpret_mode() -> bool:
     return os.environ.get("DSS_TPU_INTERPRET", "0") == "1"
 
 
+def _tiles_per_step(n_tiles: int, cap: int = 1) -> int:
+    """Tiles processed per Pallas grid step (largest divisor ≤ cap).
+
+    Measured on v5e at 512²/tile 64/5k pts: G∈{1,2} identical (63.6 ms step),
+    G=8 WORSE (67.4) — the sequential grid already pipelines block DMA, so
+    per-step overhead is negligible and big unrolled steps only hurt.  Kept
+    at 1; the mechanism remains for shapes where the grid gets very long."""
+    g = min(cap, n_tiles)
+    while n_tiles % g:
+        g -= 1
+    return g
+
+
 def sorted_segment_sum(
     vals: jnp.ndarray, seg: jnp.ndarray, num_segments: int
 ) -> jnp.ndarray:
@@ -412,11 +425,11 @@ def _fwd_kernel(
 
 def _fwd_kernel_lean(
     counts_ref,  # (n_tiles,) SMEM scalar-prefetch: candidates per tile
-    data_ref,  # (1, C, M) VMEM
+    data_ref,  # (G, C, M) VMEM
     dmt_ref,  # (1, 1) SMEM: depth merging threshold
-    cnt_out,  # (1, 1, TT) accepted count (occupancy = cnt > 0)
-    vis_out,  # (1, 1, M) per-candidate visibility flag
-    rgb_out,  # (1, 4, TT): weighted rgb sums + weight sum (fused compositing)
+    cnt_out,  # (G, 1, TT) accepted count (occupancy = cnt > 0)
+    vis_out,  # (G, 1, M) per-candidate visibility flag
+    rgb_out,  # (G, 4, TT): weighted rgb sums + weight sum (fused compositing)
     *,
     tile_size: int,
     image_size: int,
@@ -424,92 +437,101 @@ def _fwd_kernel_lean(
     points_per_pixel: int,
     chunk: int,
     m: int,
+    tiles_per_step: int,
 ):
     """Training-path variant of _fwd_kernel: no per-fragment z/q/id buffers —
     nothing in the train step reads them (the composite is fused, the feature
     gradient recomputes weights from the candidate table, visibility is
     per-candidate).  Dropping the K-slot rank-match accumulation (3K masked
     (TT, CM) reductions per chunk) leaves accept-test + one tri matmul + one
-    composite matmul per chunk; z₀ for the depth window is a running min."""
+    composite matmul per chunk; z₀ for the depth window is a running min.
+    Processes `tiles_per_step` tiles per grid step to amortize the ~15 µs
+    fixed per-step overhead."""
     t = tile_size
     tt = t * t
     k = points_per_pixel
-    g = pl.program_id(0)
-    ty = g // n_tiles_x
-    tx = g % n_tiles_x
+    pid = pl.program_id(0)
 
     lin = jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0)
-    row = ty * t + lin // t
-    col = tx * t + lin % t
     inv_s = 1.0 / image_size
-    yf = 1.0 - (2.0 * row.astype(jnp.float32) + 1.0) * inv_s
-    xf = 1.0 - (2.0 * col.astype(jnp.float32) + 1.0) * inv_s
-
-    n_cand = jnp.minimum(counts_ref[g], m)
-    n_chunks = (n_cand + chunk - 1) // chunk
-
     row_j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
     col_k = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
     tri = (row_j <= col_k).astype(jnp.float32)
 
-    def body(i, carry):
-        z0, frgb, cnt = carry
-        sl = pl.ds(i * chunk, chunk)
-        px = data_ref[0, _CH_PX, sl][None, :]
-        py = data_ref[0, _CH_PY, sl][None, :]
-        pz = data_ref[0, _CH_PZ, sl][None, :]
-        a = data_ref[0, _CH_A, sl][None, :]
-        b = data_ref[0, _CH_B, sl][None, :]
-        c = data_ref[0, _CH_C, sl][None, :]
-        cut = data_ref[0, _CH_CUT, sl][None, :]
-        rx = data_ref[0, _CH_RX, sl][None, :]
-        ry = data_ref[0, _CH_RY, sl][None, :]
-        sc = data_ref[0, _CH_SC, sl][None, :]
-        cr = data_ref[0, _CH_R, sl]  # (CM,)
-        cg = data_ref[0, _CH_G, sl]
-        cb = data_ref[0, _CH_B2, sl]
+    # static unroll over the tile batch: gs is a Python int, so every ref
+    # index below is static and the compiler pipelines the whole step
+    for gs in range(tiles_per_step):
+        g = pid * tiles_per_step + gs
+        ty = g // n_tiles_x
+        tx = g % n_tiles_x
+        row = ty * t + lin // t
+        col = tx * t + lin % t
+        yf = 1.0 - (2.0 * row.astype(jnp.float32) + 1.0) * inv_s
+        xf = 1.0 - (2.0 * col.astype(jnp.float32) + 1.0) * inv_s
 
-        dx = xf - px  # (TT, CM)
-        dy = yf - py
-        q = a * dx * dx + b * dx * dy + c * dy * dy
-        accept = (
-            (pz >= 0.0)
-            & (jnp.abs(dx) <= rx)
-            & (jnp.abs(dy) <= ry)
-            & (q <= cut)
-        )
-        accf = accept.astype(jnp.float32)
-        incl = jnp.dot(accf, tri, preferred_element_type=jnp.float32)
-        slot = cnt[:, None] + incl - accf  # (TT, CM)
-        # z₀ = depth of the first accepted candidate (depth-sorted) — final
-        # for any pixel that accepted anything in this or an earlier chunk
-        z0 = jnp.minimum(z0, jnp.min(jnp.where(accept, pz, jnp.inf), axis=1))
-        in_window = (pz - z0[:, None]) <= dmt_ref[0, 0]
-        wins = (
-            accf
-            * (slot < float(k)).astype(jnp.float32)
-            * in_window.astype(jnp.float32)
-        )
-        w = jnp.exp(-0.5 * jnp.where(accept, q, 0.0)) * sc * wins
-        cmat = jnp.concatenate(
-            [cr[:, None], cg[:, None], cb[:, None],
-             jnp.ones((chunk, 1), jnp.float32)],
-            axis=1,
-        )  # (CM, 4)
-        frgb = frgb + jnp.dot(w, cmat, preferred_element_type=jnp.float32)
-        cnt = cnt + jnp.sum(accf, axis=1)
-        vis_out[0, 0, sl] = jnp.max(wins, axis=0)
-        return z0, frgb, cnt
+        n_cand = jnp.minimum(counts_ref[g], m)
+        n_chunks = (n_cand + chunk - 1) // chunk
 
-    vis_out[0, 0, :] = jnp.zeros((m,), jnp.float32)
-    init = (
-        jnp.full((tt,), jnp.inf, jnp.float32),
-        jnp.zeros((tt, 4), jnp.float32),
-        jnp.zeros((tt,), jnp.float32),
-    )
-    _, frgb, cnt = jax.lax.fori_loop(0, n_chunks, body, init)
-    cnt_out[0] = cnt[None, :]
-    rgb_out[0] = frgb.T  # (4, TT)
+        def body(i, carry):
+            z0, frgb, cnt = carry
+            sl = pl.ds(i * chunk, chunk)
+            px = data_ref[gs, _CH_PX, sl][None, :]
+            py = data_ref[gs, _CH_PY, sl][None, :]
+            pz = data_ref[gs, _CH_PZ, sl][None, :]
+            a = data_ref[gs, _CH_A, sl][None, :]
+            b = data_ref[gs, _CH_B, sl][None, :]
+            c = data_ref[gs, _CH_C, sl][None, :]
+            cut = data_ref[gs, _CH_CUT, sl][None, :]
+            rx = data_ref[gs, _CH_RX, sl][None, :]
+            ry = data_ref[gs, _CH_RY, sl][None, :]
+            sc = data_ref[gs, _CH_SC, sl][None, :]
+            cr = data_ref[gs, _CH_R, sl]  # (CM,)
+            cg = data_ref[gs, _CH_G, sl]
+            cb = data_ref[gs, _CH_B2, sl]
+
+            dx = xf - px  # (TT, CM)
+            dy = yf - py
+            q = a * dx * dx + b * dx * dy + c * dy * dy
+            accept = (
+                (pz >= 0.0)
+                & (jnp.abs(dx) <= rx)
+                & (jnp.abs(dy) <= ry)
+                & (q <= cut)
+            )
+            accf = accept.astype(jnp.float32)
+            incl = jnp.dot(accf, tri, preferred_element_type=jnp.float32)
+            slot = cnt[:, None] + incl - accf  # (TT, CM)
+            # z₀ = depth of the first accepted candidate (depth-sorted) —
+            # final for any pixel that accepted in this or an earlier chunk
+            z0 = jnp.minimum(
+                z0, jnp.min(jnp.where(accept, pz, jnp.inf), axis=1)
+            )
+            in_window = (pz - z0[:, None]) <= dmt_ref[0, 0]
+            wins = (
+                accf
+                * (slot < float(k)).astype(jnp.float32)
+                * in_window.astype(jnp.float32)
+            )
+            w = jnp.exp(-0.5 * jnp.where(accept, q, 0.0)) * sc * wins
+            cmat = jnp.concatenate(
+                [cr[:, None], cg[:, None], cb[:, None],
+                 jnp.ones((chunk, 1), jnp.float32)],
+                axis=1,
+            )  # (CM, 4)
+            frgb = frgb + jnp.dot(w, cmat, preferred_element_type=jnp.float32)
+            cnt = cnt + jnp.sum(accf, axis=1)
+            vis_out[gs, 0, sl] = jnp.max(wins, axis=0)
+            return z0, frgb, cnt
+
+        vis_out[gs, 0, :] = jnp.zeros((m,), jnp.float32)
+        init = (
+            jnp.full((tt,), jnp.inf, jnp.float32),
+            jnp.zeros((tt, 4), jnp.float32),
+            jnp.zeros((tt,), jnp.float32),
+        )
+        _, frgb, cnt = jax.lax.fori_loop(0, n_chunks, body, init)
+        cnt_out[gs] = cnt[None, :]
+        rgb_out[gs] = frgb.T  # (4, TT)
 
 
 def rasterize_forward_pallas_lean(
@@ -543,6 +565,7 @@ def rasterize_forward_pallas_lean(
         scaler=scaler, features=features,
     )
 
+    g_batch = _tiles_per_step(n_tiles)
     kern = functools.partial(
         _fwd_kernel_lean,
         tile_size=t,
@@ -551,22 +574,23 @@ def rasterize_forward_pallas_lean(
         points_per_pixel=points_per_pixel,
         chunk=chunk,
         m=bin_capacity,
+        tiles_per_step=g_batch,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(n_tiles // g_batch,),
         in_specs=[
             pl.BlockSpec(
-                (1, N_CHANNELS, bin_capacity),
+                (g_batch, N_CHANNELS, bin_capacity),
                 lambda i, counts: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, tt), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bin_capacity), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, tt), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_batch, 1, tt), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_batch, 1, bin_capacity), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_batch, 4, tt), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
     )
     cnt_t, vis_t, rgb_t = pl.pallas_call(
@@ -740,10 +764,10 @@ def rasterize_forward_pallas(
 
 def _feat_bwd_kernel(
     counts_ref,  # (n_tiles,) SMEM scalar-prefetch: candidates per tile
-    data_ref,  # (1, C, M) VMEM: the forward candidate table (depth-sorted)
-    grad_ref,  # (1, TT, 4) VMEM: grad wrt rgbw for this tile (ch 3 unused)
+    data_ref,  # (G, C, M) VMEM: the forward candidate table (depth-sorted)
+    grad_ref,  # (G, TT, 4) VMEM: grad wrt rgbw per tile (ch 3 unused)
     dmt_ref,  # (1, 1) SMEM: depth merging threshold
-    gf_out,  # (1, 4, M): per-candidate Σ_pix w·grad_rgb (rows 0..2) — row 3 pad
+    gf_out,  # (G, 4, M): per-candidate Σ_pix w·grad_rgb (rows 0..2) — row 3 pad
     *,
     tile_size: int,
     image_size: int,
@@ -751,6 +775,7 @@ def _feat_bwd_kernel(
     points_per_pixel: int,
     chunk: int,
     m: int,
+    tiles_per_step: int,
 ):
     """Feature gradient of the fused composite: rgb_out[pix,c] = Σ_j w_j·c_j
     with w treated as locally constant (reference semantics), so
@@ -763,71 +788,78 @@ def _feat_bwd_kernel(
     t = tile_size
     tt = t * t
     k = points_per_pixel
-    g = pl.program_id(0)
-    ty = g // n_tiles_x
-    tx = g % n_tiles_x
+    pid = pl.program_id(0)
 
     lin = jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0)
-    row = ty * t + lin // t
-    col = tx * t + lin % t
     inv_s = 1.0 / image_size
-    yf = 1.0 - (2.0 * row.astype(jnp.float32) + 1.0) * inv_s
-    xf = 1.0 - (2.0 * col.astype(jnp.float32) + 1.0) * inv_s
-
-    n_cand = jnp.minimum(counts_ref[g], m)
-    n_chunks = (n_cand + chunk - 1) // chunk
-    gf_out[0, :, :] = jnp.zeros((4, m), jnp.float32)
-
     row_j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
     col_k = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
     tri = (row_j <= col_k).astype(jnp.float32)
-    grad_t = grad_ref[0]  # (TT, 4)
 
-    def body(i, carry):
-        z0, cnt = carry
-        sl = pl.ds(i * chunk, chunk)
-        px = data_ref[0, _CH_PX, sl][None, :]
-        py = data_ref[0, _CH_PY, sl][None, :]
-        pz = data_ref[0, _CH_PZ, sl][None, :]
-        a = data_ref[0, _CH_A, sl][None, :]
-        b = data_ref[0, _CH_B, sl][None, :]
-        c = data_ref[0, _CH_C, sl][None, :]
-        cut = data_ref[0, _CH_CUT, sl][None, :]
-        rx = data_ref[0, _CH_RX, sl][None, :]
-        ry = data_ref[0, _CH_RY, sl][None, :]
-        sc = data_ref[0, _CH_SC, sl][None, :]
+    for gs in range(tiles_per_step):
+        g = pid * tiles_per_step + gs
+        ty = g // n_tiles_x
+        tx = g % n_tiles_x
+        row = ty * t + lin // t
+        col = tx * t + lin % t
+        yf = 1.0 - (2.0 * row.astype(jnp.float32) + 1.0) * inv_s
+        xf = 1.0 - (2.0 * col.astype(jnp.float32) + 1.0) * inv_s
 
-        dx = xf - px
-        dy = yf - py
-        q = a * dx * dx + b * dx * dy + c * dy * dy
-        accept = (
-            (pz >= 0.0)
-            & (jnp.abs(dx) <= rx)
-            & (jnp.abs(dy) <= ry)
-            & (q <= cut)
-        )
-        accf = accept.astype(jnp.float32)
-        incl = jnp.dot(accf, tri, preferred_element_type=jnp.float32)
-        slot = cnt[:, None] + incl - accf
-        z0 = jnp.minimum(z0, jnp.min(jnp.where(accept, pz, jnp.inf), axis=1))
-        in_window = (pz - z0[:, None]) <= dmt_ref[0, 0]
-        wins = accf * (slot < float(k)).astype(jnp.float32) * in_window.astype(
-            jnp.float32
-        )
-        w = jnp.exp(-0.5 * jnp.where(accept, q, 0.0)) * sc * wins  # (TT, CM)
-        # (4, TT) @ (TT, CM) on the MXU; rows 0..2 are the rgb grads
-        gf_out[0, :, sl] = jnp.dot(
-            grad_t.T, w, preferred_element_type=jnp.float32
-        )
-        cnt = cnt + jnp.sum(accf, axis=1)
-        return z0, cnt
+        n_cand = jnp.minimum(counts_ref[g], m)
+        n_chunks = (n_cand + chunk - 1) // chunk
+        gf_out[gs, :, :] = jnp.zeros((4, m), jnp.float32)
+        grad_t = grad_ref[gs]  # (TT, 4)
 
-    jax.lax.fori_loop(
-        0,
-        n_chunks,
-        body,
-        (jnp.full((tt,), jnp.inf, jnp.float32), jnp.zeros((tt,), jnp.float32)),
-    )
+        def body(i, carry, gs=gs, xf=xf, yf=yf, grad_t=grad_t):
+            z0, cnt = carry
+            sl = pl.ds(i * chunk, chunk)
+            px = data_ref[gs, _CH_PX, sl][None, :]
+            py = data_ref[gs, _CH_PY, sl][None, :]
+            pz = data_ref[gs, _CH_PZ, sl][None, :]
+            a = data_ref[gs, _CH_A, sl][None, :]
+            b = data_ref[gs, _CH_B, sl][None, :]
+            c = data_ref[gs, _CH_C, sl][None, :]
+            cut = data_ref[gs, _CH_CUT, sl][None, :]
+            rx = data_ref[gs, _CH_RX, sl][None, :]
+            ry = data_ref[gs, _CH_RY, sl][None, :]
+            sc = data_ref[gs, _CH_SC, sl][None, :]
+
+            dx = xf - px
+            dy = yf - py
+            q = a * dx * dx + b * dx * dy + c * dy * dy
+            accept = (
+                (pz >= 0.0)
+                & (jnp.abs(dx) <= rx)
+                & (jnp.abs(dy) <= ry)
+                & (q <= cut)
+            )
+            accf = accept.astype(jnp.float32)
+            incl = jnp.dot(accf, tri, preferred_element_type=jnp.float32)
+            slot = cnt[:, None] + incl - accf
+            z0 = jnp.minimum(
+                z0, jnp.min(jnp.where(accept, pz, jnp.inf), axis=1)
+            )
+            in_window = (pz - z0[:, None]) <= dmt_ref[0, 0]
+            wins = (
+                accf
+                * (slot < float(k)).astype(jnp.float32)
+                * in_window.astype(jnp.float32)
+            )
+            w = jnp.exp(-0.5 * jnp.where(accept, q, 0.0)) * sc * wins
+            # (4, TT) @ (TT, CM) on the MXU; rows 0..2 are the rgb grads
+            gf_out[gs, :, sl] = jnp.dot(
+                grad_t.T, w, preferred_element_type=jnp.float32
+            )
+            cnt = cnt + jnp.sum(accf, axis=1)
+            return z0, cnt
+
+        jax.lax.fori_loop(
+            0,
+            n_chunks,
+            body,
+            (jnp.full((tt,), jnp.inf, jnp.float32),
+             jnp.zeros((tt,), jnp.float32)),
+        )
 
 
 def feat_backward_pallas(
@@ -854,6 +886,7 @@ def feat_backward_pallas(
         .reshape(n_tiles, tt, 4)
     )
 
+    g_batch = _tiles_per_step(n_tiles)
     kern = functools.partial(
         _feat_bwd_kernel,
         tile_size=t,
@@ -862,22 +895,23 @@ def feat_backward_pallas(
         points_per_pixel=points_per_pixel,
         chunk=chunk,
         m=bin_capacity,
+        tiles_per_step=g_batch,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(n_tiles // g_batch,),
         in_specs=[
             pl.BlockSpec(
-                (1, N_CHANNELS, bin_capacity),
+                (g_batch, N_CHANNELS, bin_capacity),
                 lambda i, counts: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, tt, 4), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_batch, tt, 4), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, 4, bin_capacity),
+                (g_batch, 4, bin_capacity),
                 lambda i, counts: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -912,69 +946,72 @@ def feat_backward_pallas(
 
 def _bwd_kernel(
     counts_ref,  # (n_tiles,) SMEM scalar-prefetch: candidates per tile
-    data_ref,  # (1, C, M): candidate channels (rx/ry = UNSCALED radii)
-    grad_ref,  # (1, TT_pad, 1): per-pixel grad_occ for this tile
+    data_ref,  # (G, C, M): candidate channels (rx/ry = UNSCALED radii)
+    grad_ref,  # (G, TT_pad, 1): per-pixel grad_occ per tile
     misc_ref,  # (1, 1): cur_r² (SMEM scalar)
-    gx_out,  # (1, 1, M)
-    gy_out,  # (1, 1, M)
+    gx_out,  # (G, 1, M)
+    gy_out,  # (G, 1, M)
     *,
     tile_size: int,
     image_size: int,
     n_tiles_x: int,
     chunk: int,
     m: int,
+    tiles_per_step: int,
 ):
     t = tile_size
     tt = t * t
-    g = pl.program_id(0)
-    ty = g // n_tiles_x
-    tx = g % n_tiles_x
+    pid = pl.program_id(0)
 
     lin = jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0)
-    row = ty * t + lin // t
-    col = tx * t + lin % t
     inv_s = 1.0 / image_size
-    yf = 1.0 - (2.0 * row.astype(jnp.float32) + 1.0) * inv_s
-    xf = 1.0 - (2.0 * col.astype(jnp.float32) + 1.0) * inv_s
-
     cur_r2 = misc_ref[0, 0]
-    gpix = grad_ref[0, :tt, :]  # (TT, 1)
 
-    n_cand = jnp.minimum(counts_ref[g], m)
-    n_chunks = (n_cand + chunk - 1) // chunk
-    gx_out[0, 0, :] = jnp.zeros((m,), jnp.float32)
-    gy_out[0, 0, :] = jnp.zeros((m,), jnp.float32)
+    for gs in range(tiles_per_step):
+        g = pid * tiles_per_step + gs
+        ty = g // n_tiles_x
+        tx = g % n_tiles_x
+        row = ty * t + lin // t
+        col = tx * t + lin % t
+        yf = 1.0 - (2.0 * row.astype(jnp.float32) + 1.0) * inv_s
+        xf = 1.0 - (2.0 * col.astype(jnp.float32) + 1.0) * inv_s
+        gpix = grad_ref[gs, :tt, :]  # (TT, 1)
 
-    def body(i, _):
-        sl = pl.ds(i * chunk, chunk)
-        px = data_ref[0, _BCH_PX, sl][None, :]
-        py = data_ref[0, _BCH_PY, sl][None, :]
-        pz = data_ref[0, _BCH_PZ, sl][None, :]
-        rx = data_ref[0, _BCH_RX, sl][None, :]
-        ry = data_ref[0, _BCH_RY, sl][None, :]
+        n_cand = jnp.minimum(counts_ref[g], m)
+        n_chunks = (n_cand + chunk - 1) // chunk
+        gx_out[gs, 0, :] = jnp.zeros((m,), jnp.float32)
+        gy_out[gs, 0, :] = jnp.zeros((m,), jnp.float32)
 
-        dx = xf - px  # (TT, CM)
-        dy = yf - py
-        dist2 = dx * dx + dy * dy
-        pt_ok = (
-            (pz >= 0.0) & (jnp.abs(px) <= 1.0) & (jnp.abs(py) <= 1.0)
-        )
-        inside_support = dist2 <= cur_r2
-        outside_splat = (jnp.abs(dx) > rx) | (jnp.abs(dy) > ry)
-        contribute = (
-            inside_support
-            & pt_ok
-            & (gpix != 0.0)
-            & ~((gpix > 0.0) & outside_splat)
-        )
-        w = jnp.where(contribute, gpix / jnp.maximum(dist2, 1e-10), 0.0)
-        # chunks cover disjoint candidate ranges → write straight to the
-        # output refs (no loop-carried buffer, no scatter)
-        gx_out[0, 0, sl] = jnp.sum(w * dx, axis=0)
-        gy_out[0, 0, sl] = jnp.sum(w * dy, axis=0)
-        return 0
+        def body(i, _, gs=gs, xf=xf, yf=yf, gpix=gpix):
+            sl = pl.ds(i * chunk, chunk)
+            px = data_ref[gs, _BCH_PX, sl][None, :]
+            py = data_ref[gs, _BCH_PY, sl][None, :]
+            pz = data_ref[gs, _BCH_PZ, sl][None, :]
+            rx = data_ref[gs, _BCH_RX, sl][None, :]
+            ry = data_ref[gs, _BCH_RY, sl][None, :]
 
-    jax.lax.fori_loop(0, n_chunks, body, 0)
+            dx = xf - px  # (TT, CM)
+            dy = yf - py
+            dist2 = dx * dx + dy * dy
+            pt_ok = (
+                (pz >= 0.0) & (jnp.abs(px) <= 1.0) & (jnp.abs(py) <= 1.0)
+            )
+            inside_support = dist2 <= cur_r2
+            outside_splat = (jnp.abs(dx) > rx) | (jnp.abs(dy) > ry)
+            contribute = (
+                inside_support
+                & pt_ok
+                & (gpix != 0.0)
+                & ~((gpix > 0.0) & outside_splat)
+            )
+            w = jnp.where(contribute, gpix / jnp.maximum(dist2, 1e-10), 0.0)
+            # chunks cover disjoint candidate ranges → write straight to the
+            # output refs (no loop-carried buffer, no scatter)
+            gx_out[gs, 0, sl] = jnp.sum(w * dx, axis=0)
+            gy_out[gs, 0, sl] = jnp.sum(w * dy, axis=0)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
 def masked_median(vals: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -1100,22 +1137,24 @@ def occ_backward_from_binned(
         n_tiles_x=nt,
         chunk=chunk,
         m=bin_capacity,
+        tiles_per_step=_tiles_per_step(n_tiles),
     )
+    g_batch = _tiles_per_step(n_tiles)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(n_tiles // g_batch,),
         in_specs=[
             pl.BlockSpec(
-                (1, N_BWD_CHANNELS, bin_capacity),
+                (g_batch, N_BWD_CHANNELS, bin_capacity),
                 lambda i, counts: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, tt, 1), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_batch, tt, 1), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, bin_capacity), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bin_capacity), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_batch, 1, bin_capacity), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_batch, 1, bin_capacity), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
     )
     gx_t, gy_t = pl.pallas_call(
