@@ -45,6 +45,9 @@ def main(argv=None):
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="capture a jax.profiler trace of iterations "
                              "10-15 into this directory")
+    parser.add_argument("--view-weights", type=str, default=None,
+                        help=".npy of per-view sampling weights (len = "
+                             "#views); default uniform, as the reference")
     parser.add_argument("--prune-every", type=int, default=-1,
                         help="every N iters deactivate dead points (zero "
                              "silhouette gradient over a view batch; "
@@ -92,7 +95,20 @@ def main(argv=None):
     train_step = make_train_step(optimizer, settings, tcfg, schedule)
 
     batch_size = int(cfg["training"]["batch_size"])
-    sampler = ViewSampler(len(dataset), batch_size, seed=args.seed)
+    # Per-view sampling weights (reference train_mvr.py:148-153 ships the
+    # WeightedSubsetRandomSampler with uniform weights; the knob is exposed
+    # here the same way — optional .npy with one weight per view).
+    view_weights = None
+    if args.view_weights:
+        view_weights = np.load(args.view_weights)
+        if view_weights.shape != (len(dataset),):
+            raise ValueError(
+                f"--view-weights must have shape ({len(dataset)},), "
+                f"got {view_weights.shape}"
+            )
+    sampler = ViewSampler(
+        len(dataset), batch_size, seed=args.seed, weights=view_weights
+    )
     print_every = int(cfg["training"].get("print_every", 10))
     ckpt_every = int(cfg["training"].get("checkpoint_every", 500))
     validate_every = int(cfg["training"].get("validate_every", 500))

@@ -65,7 +65,6 @@ class RasterSettings:
     Vrk_isotropic: bool = struct.field(pytree_node=False, default=True)
     backface_culling: bool = struct.field(pytree_node=False, default=True)
     clip_pts_grad: float = struct.field(pytree_node=False, default=-1.0)
-    frnn_radius: float = struct.field(pytree_node=False, default=-1.0)
     # Rasterizer backend: "reference" (pure-jnp spec), "pallas" (tile-binned
     # TPU kernels), or "auto" (pallas on TPU, reference elsewhere).
     backend: str = struct.field(pytree_node=False, default="auto")

@@ -323,3 +323,24 @@ class TestSortedSegmentSum:
         vals = jnp.ones((5, 2))
         got = np.asarray(sorted_segment_sum(vals, seg, 4))
         np.testing.assert_allclose(got, np.zeros((4, 2)))
+
+    def test_precision_at_production_scale(self):
+        """ADVICE r1: each segment sum is a difference of a single global f32
+        cumsum — bound the cancellation error at real fragment counts (~2M
+        values into 5k points, heavy-tailed magnitudes) against an f64 direct
+        segment sum.  Measured ~3e-5 of the RMS segment magnitude; gate 1e-3."""
+        from dss_tpu.ops.splat_pallas import sorted_segment_sum
+
+        rng = np.random.default_rng(0)
+        n, p = 2_100_000, 5000
+        vals = (
+            rng.standard_normal((n, 2)) * rng.lognormal(0.0, 2.0, (n, 1))
+        ).astype(np.float32)
+        seg = rng.integers(0, p, n).astype(np.int32)
+        got = np.asarray(
+            sorted_segment_sum(jnp.asarray(vals), jnp.asarray(seg), p)
+        )
+        want = np.zeros((p, 2))
+        np.add.at(want, seg, vals.astype(np.float64))
+        scale = np.sqrt(np.mean(want**2))
+        assert np.abs(got - want).max() <= 1e-3 * scale
