@@ -24,8 +24,13 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="Optimize a point cloud toward filtered renders")
     parser.add_argument("--points", required=True, help="input .ply point cloud")
     parser.add_argument("--out", required=True)
-    parser.add_argument("--filter", choices=["l0", "guided", "superpixel", "none"], default="l0")
+    parser.add_argument("--filter", choices=["l0", "guided", "superpixel", "pix2pix", "none"], default="l0")
     parser.add_argument("--l0-lambda", type=float, default=0.05)
+    parser.add_argument("--pix2pix-weights", type=str, default=None,
+                        help="torch .pth state_dict of the reference "
+                             "resnet_9blocks generator (norm='pixel'); used "
+                             "with --filter pix2pix (reference "
+                             "Pix2PixDenoising, imageFilters.py:184-229)")
     parser.add_argument("--num-views", type=int, default=8)
     parser.add_argument("--image-size", type=int, default=128)
     parser.add_argument("--iters", type=int, default=200)
@@ -104,16 +109,38 @@ def main(argv=None):
 
     # Filter the renders → optimization targets (host side).
     print("filtering %d renders with %s" % (len(renders), args.filter))
-    targets = []
-    for im in renders:
-        if args.filter == "l0":
-            targets.append(np.asarray(l0_smooth(jnp.asarray(im), lmd=args.l0_lambda)))
-        elif args.filter == "guided":
-            targets.append(np.asarray(guided_filter(jnp.asarray(im), jnp.asarray(im).mean(-1), r=4, eps=1e-3))[..., None].repeat(3, -1))
-        elif args.filter == "superpixel":
-            targets.append(superpixel(im))
-        else:
-            targets.append(im)
+    if args.filter == "pix2pix":
+        from dss_tpu.models.pix2pix import (
+            ResnetGenerator,
+            denoise_images,
+            load_torch_generator_weights,
+        )
+
+        if not args.pix2pix_weights:
+            parser.error("--filter pix2pix requires --pix2pix-weights")
+        gen = ResnetGenerator(norm="pixel")
+        gparams = gen.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, args.image_size, args.image_size, 3)),
+        )
+        gparams = load_torch_generator_weights(args.pix2pix_weights, gparams)
+        targets = [
+            np.asarray(t)
+            for t in denoise_images(
+                jax.jit(gen.apply), gparams, jnp.asarray(renders)
+            )
+        ]
+    else:
+        targets = []
+        for im in renders:
+            if args.filter == "l0":
+                targets.append(np.asarray(l0_smooth(jnp.asarray(im), lmd=args.l0_lambda)))
+            elif args.filter == "guided":
+                targets.append(np.asarray(guided_filter(jnp.asarray(im), jnp.asarray(im).mean(-1), r=4, eps=1e-3))[..., None].repeat(3, -1))
+            elif args.filter == "superpixel":
+                targets.append(superpixel(im))
+            else:
+                targets.append(im)
     targets = jnp.asarray(np.stack(targets))
     save_image_grid(np.asarray(targets), os.path.join(args.out, "target.png"))
 
