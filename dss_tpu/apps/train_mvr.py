@@ -21,10 +21,13 @@ from dss_tpu import config as config_mod
 from dss_tpu.data.dataset import ViewSampler
 from dss_tpu.data.io import save_ply
 from dss_tpu.training.checkpoint import CheckpointIO
+from dss_tpu.models.point_model import point_model_forward
+from dss_tpu.training.losses import iou_loss
 from dss_tpu.training.trainer import (
     chamfer_distance,
     create_train_state,
     make_train_step,
+    psnr,
 )
 from dss_tpu.utils.logging import MetricsLogger, get_logger
 
@@ -115,9 +118,26 @@ def main(argv=None):
 
     gt_points, gt_normals, _ = dataset.get_pointclouds()
 
+    # Fixed validation view batch for image-space eval (reference eval_step,
+    # trainer.py:173-212: mask IoU + rgb PSNR on rendered validation views).
+    val_idx = np.arange(min(batch_size, len(dataset)))
+    val_img, val_mask, val_cams, val_lights = dataset.get_batch(val_idx)
+    val_img, val_mask = jnp.asarray(val_img), jnp.asarray(val_mask)
+
+    @jax.jit
+    def eval_render(params, filters):
+        out, _ = point_model_forward(
+            params, filters, val_cams, val_lights, settings
+        )
+        return out["img_pred"], out["mask_img_pred"]
+
     def evaluate(state):
+        out = {}
+        rgb_pred, mask_pred = eval_render(state.params, state.filters)
+        out["iou_loss"] = float(iou_loss(mask_pred, val_mask))
+        out["psnr"] = float(psnr(rgb_pred, val_img))
         if gt_points is None:
-            return {}
+            return out
         cd, cn = chamfer_distance(
             jnp.asarray(gt_points),
             state.params.points,
@@ -125,7 +145,7 @@ def main(argv=None):
             state.params.normals,
             y_mask=state.filters.activation,
         )
-        out = {"chamfer_point": float(cd)}
+        out["chamfer_point"] = float(cd)
         if cn is not None:
             out["chamfer_normal"] = float(cn)
         return out
