@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--points", type=int, default=1500)
     ap.add_argument("--n-train-points", type=int, default=1500)
     ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--format", choices=["mvr", "dtu"], default="mvr",
+                    help="dtu: also write IDR-style cameras.npz "
+                         "(world_mat_i/scale_mat_i) and a type: DTU config")
     args = ap.parse_args()
 
     import jax
@@ -97,9 +100,18 @@ def main():
         cameras_type="FoVPerspectiveCameras",
         cameras_params={"fov": 60.0, "znear": 0.1, "zfar": 100.0},
     )
+    if args.format == "dtu":
+        # IDR/DTU cameras.npz convention: per-view world_mat/scale_mat with
+        # camera_mat = (scale.T @ world.T) (reference dataset.py:359).
+        np.savez(
+            os.path.join(root, "cameras.npz"),
+            **{f"world_mat_{i}": m44[i].T for i in range(v)},
+            **{f"scale_mat_{i}": np.eye(4, dtype=np.float32) for i in range(v)},
+        )
     cfg = {
         "name": "tiny_verify",
-        "data": {"type": "MVR", "data_dir": root},
+        "data": {"type": "MVR" if args.format == "mvr" else "DTU",
+                 "data_dir": root},
         "renderer": {
             "raster_params": {
                 "image_size": s,
