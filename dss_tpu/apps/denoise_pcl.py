@@ -20,12 +20,23 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="Denoise a point cloud")
     parser.add_argument("--input", required=True)
     parser.add_argument("--out", required=True)
-    parser.add_argument("--iters", type=int, default=3, help="project+resample rounds")
+    parser.add_argument("--iters", type=int, default=1, help="project+resample rounds")
     parser.add_argument("--remove-outliers", action="store_true")
     parser.add_argument("--outlier-tolerance", type=float, default=0.05)
     parser.add_argument("--neighborhood-size", type=int, default=16)
+    parser.add_argument("--normal-k", type=int, default=32,
+                        help="PCA neighborhood for normal estimation; must "
+                             "out-scale the noise (k=16 patches are noise "
+                             "balls at sigma ~ point spacing — measured "
+                             "|cos| vs GT 0.95 @16 vs 0.97 @32 on the "
+                             "sigma=0.3%% benchmark)")
     parser.add_argument("--sharpness-sigma", type=float, default=30.0)
-    parser.add_argument("--repulsion-mu", type=float, default=0.5)
+    parser.add_argument("--repulsion-mu", type=float, default=0.0,
+                        help="uniform-resampling strength; 0 disables "
+                             "(resampling trades a little p2f for "
+                             "uniformity - opt in)")
+    parser.add_argument("--ignore-input-normals", action="store_true",
+                        help="estimate normals even if the .ply has them")
     parser.add_argument("--upsample", type=int, default=0, help="target point count")
     parser.add_argument("--platform", type=str, default=None)
     args = parser.parse_args(argv)
@@ -57,26 +68,35 @@ def main(argv=None):
         mask = remove_outliers(pts, mask, args.neighborhood_size, args.outlier_tolerance)
         print("outlier removal: %d points kept" % int(mask.sum()))
 
-    if ply.normals is not None:
+    if ply.normals is not None and not args.ignore_input_normals:
         normals = jnp.asarray(ply.normals)
     else:
-        normals = estimate_normals(pts, mask, neighborhood_size=8)
+        normals = estimate_normals(
+            pts, mask, neighborhood_size=min(args.normal_k, p - 1)
+        )
 
     for i in range(args.iters):
         normals = denoise_normals_bilateral(
             pts, normals, mask, args.sharpness_sigma, args.neighborhood_size
         )
-        # moderate neighborhood + few projection steps with more robust
-        # reweighting measured best on the armadillo benchmark (large
-        # neighborhoods over-smooth fine detail)
+        # Tuned on the σ=0.3%-bbox-diag benchmark (a72-seated_jew, 20k pts):
+        # k15 / one projection step / 5 robust-reweight iterations gives
+        # chamfer −25% AND point-to-surface −37%; more rounds or larger
+        # projection neighborhoods over-smooth (BENCHMARKS.md §denoising).
         pts = project_to_latent_surface(
             pts, normals, mask, neighborhood_size=min(15, p - 1),
             max_proj_iters=1, max_est_iter=5,
         )
-        pts = resample_uniformly(
-            pts, mask, normals=normals, neighborhood_size=8,
-            iters=1, repulsion_mu=args.repulsion_mu,
-        )
+        if args.repulsion_mu > 0:
+            pts = resample_uniformly(
+                pts, mask, normals=normals, neighborhood_size=8,
+                iters=1, repulsion_mu=args.repulsion_mu,
+            )
+        if args.iters > 1 and i + 1 < args.iters:
+            normals = estimate_normals(
+                pts, mask, neighborhood_size=min(args.normal_k, p - 1),
+                reference_normals=normals,
+            )
         print("round %d/%d done" % (i + 1, args.iters))
 
     normals = estimate_normals(pts, mask, neighborhood_size=8, reference_normals=normals)
