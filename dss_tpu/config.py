@@ -59,6 +59,7 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         "lambda_dr_silhouette": 1.0,
         "lambda_dr_proj": 0.1,
         "lambda_dr_repel": 0.1,
+        "lambda_dr_normal": 0.0,
         "batch_size": 1,
         "print_every": 10,
         "checkpoint_every": 500,
@@ -222,6 +223,7 @@ def create_train_config(cfg: dict):
         lambda_silhouette=float(t.get("lambda_dr_silhouette", 1.0)),
         lambda_proj=float(t.get("lambda_dr_proj", 0.0)),
         lambda_repel=float(t.get("lambda_dr_repel", 0.0)),
+        lambda_normal=float(t.get("lambda_dr_normal", 0.0)),
         knn_k=int(t.get("knn_k", 12)),
         filter_scale=float(t.get("filter_scale", 2.0)),
         sharpness_sigma=float(t.get("sharpness_sigma", 0.75)),

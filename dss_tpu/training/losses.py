@@ -176,6 +176,37 @@ def projection_loss(
     return masked_mean(per_point, mask)
 
 
+def normal_consistency_loss(
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    mask: jnp.ndarray,
+    neighborhood_size: int = 8,
+) -> jnp.ndarray:
+    """Pull the LEARNED normal field toward the PCA normal of the current
+    cloud: mean(1 − cos(n̂, stopgrad(sign-aligned PCA normal))).
+
+    In the reference, normals only receive gradients through shading; the
+    surface losses detach their denoised normals (losses.py:182-220 under
+    no_grad), which leaves the learned field noisy (observed
+    chamfer_normal ≈ 0.68 on the flagship).  This regularizer anchors the
+    field to the geometry without changing the surface-loss semantics; the
+    PCA target's sign is taken from the learned normal, so shading keeps
+    owning the orientation."""
+    from dss_tpu.geometry.normals import estimate_normals
+
+    n = normalize(normals)
+    target = jax.lax.stop_gradient(
+        normalize(estimate_normals(points, mask, neighborhood_size))
+    )
+    sign = jnp.where(
+        jnp.sum(jax.lax.stop_gradient(n) * target, -1, keepdims=True) < 0,
+        -1.0,
+        1.0,
+    )
+    cos = jnp.sum(n * target * sign, axis=-1)
+    return masked_mean(1.0 - cos, mask)
+
+
 def repulsion_loss(
     points: jnp.ndarray,
     normals: jnp.ndarray,

@@ -30,6 +30,7 @@ from dss_tpu.render.ewa import RasterSettings
 from dss_tpu.training.losses import (
     build_knn,
     dr_loss,
+    normal_consistency_loss,
     projection_loss,
     repulsion_loss,
 )
@@ -76,6 +77,9 @@ class TrainConfig(NamedTuple):
     lambda_silhouette: float = 1.0
     lambda_proj: float = 0.0
     lambda_repel: float = 0.0
+    # Anchors learned normals to the cloud's PCA normals (the reference only
+    # trains normals through shading; see losses.normal_consistency_loss).
+    lambda_normal: float = 0.0
     knn_k: int = 12
     filter_scale: float = 2.0
     sharpness_sigma: float = 0.75
@@ -198,6 +202,17 @@ def make_train_step(
                 )
                 total = total + lr_
                 parts = {**parts, "loss_dr_repel": lr_}
+        if cfg.lambda_normal > 0:
+            ln = (
+                normal_consistency_loss(
+                    params.points,
+                    params.normals,
+                    filters.activation,
+                )
+                * cfg.lambda_normal
+            )
+            total = total + ln
+            parts = {**parts, "loss_dr_normal": ln}
         return total, (parts, new_filters)
 
     @jax.jit

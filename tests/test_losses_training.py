@@ -108,6 +108,23 @@ class TestSurfaceLosses:
         assert bool(jnp.all(jnp.isfinite(g)))
         assert float(jnp.abs(g).max()) > 0
 
+    def test_normal_consistency_anchors_to_pca(self):
+        from dss_tpu.training.losses import normal_consistency_loss
+        from tests.test_render import fibonacci_sphere
+
+        pts = jnp.asarray(fibonacci_sphere(500, 1.0))
+        mask = jnp.ones((500,), bool)
+        good = pts  # unit sphere: radial normals
+        rng = np.random.default_rng(0)
+        bad = jnp.asarray(rng.standard_normal((500, 3)).astype(np.float32))
+        assert float(normal_consistency_loss(pts, good, mask)) < 1e-3
+        assert float(normal_consistency_loss(pts, bad, mask)) > 0.3
+        # gradient flows to normals, not points (PCA target is detached)
+        gn = jax.grad(lambda n: normal_consistency_loss(pts, n, mask))(bad)
+        assert float(jnp.abs(gn).max()) > 0
+        gp = jax.grad(lambda p: normal_consistency_loss(p, good, mask))(pts)
+        np.testing.assert_allclose(gp, 0.0, atol=1e-6)
+
     def test_masked_points_ignored(self, flat_cloud):
         pts, normals, mask = flat_cloud
         # add garbage padding points, masked out
