@@ -115,6 +115,8 @@ def main(argv=None):
     print_every = int(cfg["training"].get("print_every", 10))
     ckpt_every = int(cfg["training"].get("checkpoint_every", 500))
     validate_every = int(cfg["training"].get("validate_every", 500))
+    visualize_every = int(cfg["training"].get("visualize_every", -1))
+    vis_frames, vis_names = [], []  # cloud snapshots → vis/points_animation
 
     gt_points, gt_normals, _ = dataset.get_pointclouds()
 
@@ -209,6 +211,11 @@ def main(argv=None):
                 logger.info("pruned to %d active points", n_active)
                 mlog.log(it, {"n_active_points": float(n_active)})
 
+            if visualize_every > 0 and it % visualize_every == 0:
+                act = np.asarray(state.filters.activation)
+                vis_frames.append(np.asarray(state.params.points)[act])
+                vis_names.append(f"it {it}")
+
             if validate_every > 0 and it % validate_every == 0:
                 eval_dict = evaluate(state)
                 if eval_dict:
@@ -243,6 +250,20 @@ def main(argv=None):
         np.asarray(state.params.points)[active],
         normals=np.asarray(state.params.normals)[active],
     )
+    if vis_frames:
+        from dss_tpu.utils.visualize import animate_points
+
+        act = np.asarray(state.filters.activation)
+        vis_frames.append(np.asarray(state.params.points)[act])
+        vis_names.append(f"it {it} (final)")
+        animate_points(
+            vis_frames,
+            names=vis_names,
+            save_html=os.path.join(out_dir, "vis", "points_animation.html"),
+            save_gif=os.path.join(out_dir, "vis", "points_animation.gif"),
+            title=cfg.get("name", "dss_tpu training"),
+        )
+        logger.info("wrote %s", os.path.join(out_dir, "vis"))
     logger.info("done: %d iters, best chamfer %.6f", it, metric_best)
     return state
 
