@@ -97,6 +97,27 @@ def main(argv=None):
 
     train_step = make_train_step(optimizer, settings, tcfg, schedule)
 
+    # Device-resident dataset: the TPU sits behind a network relay, so
+    # shipping each 8-view 512² batch (~34 MB) per step dominated the step
+    # time (measured 0.6 s/it vs a 60 ms compute step).  Upload all views
+    # once (128 views @ 512² ≈ 0.5 GB of 16 GB HBM) and gather the batch
+    # on-device from indices.
+    all_img = jnp.asarray(dataset.images)
+    all_mask = jnp.asarray(dataset.masks)
+    all_cams = dataset.get_cameras(None)
+    all_lights = dataset.get_lights(None)
+
+    @jax.jit
+    def train_step_device(state, all_img, all_mask, all_cams, all_lights, idx):
+        take = lambda x: jnp.take(x, idx, axis=0)
+        cams = jax.tree_util.tree_map(take, all_cams)
+        lights = (
+            None
+            if all_lights is None
+            else jax.tree_util.tree_map(take, all_lights)
+        )
+        return train_step(state, cams, lights, take(all_img), take(all_mask))
+
     batch_size = int(cfg["training"]["batch_size"])
     # Per-view sampling weights (reference train_mvr.py:148-153 ships the
     # WeightedSubsetRandomSampler with uniform weights; the knob is exposed
@@ -160,11 +181,11 @@ def main(argv=None):
         if stop:
             break
         for batch_idx in sampler.epoch():
-            img, mask_img, cameras, lights = dataset.get_batch(batch_idx)
             if args.profile_dir and it == 10:
                 jax.profiler.start_trace(args.profile_dir)
-            state, metrics = train_step(
-                state, cameras, lights, jnp.asarray(img), jnp.asarray(mask_img)
+            state, metrics = train_step_device(
+                state, all_img, all_mask, all_cams, all_lights,
+                jnp.asarray(batch_idx, jnp.int32),
             )
             if args.profile_dir and it == 15:
                 jax.block_until_ready(metrics["loss"])
@@ -193,6 +214,7 @@ def main(argv=None):
                           loss_val_best=metric_best)
                 # half-resolution render is sufficient for the zero-gradient
                 # test and compiles much faster
+                _, mask_img, cameras, _ = dataset.get_batch(batch_idx)
                 prune_settings = settings.replace(
                     image_size=max(64, settings.image_size // 2)
                 )
