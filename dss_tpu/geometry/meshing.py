@@ -210,3 +210,110 @@ def generate_mesh_from_points(
         )
     )
     return marching_tetrahedra(sdf, lo, hi, 0.0)
+
+
+def poisson_indicator_grid(
+    points: np.ndarray,
+    normals: np.ndarray,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    resolution: int = 128,
+    smooth_cells: float = 1.5,
+) -> np.ndarray:
+    """Poisson surface reconstruction on a regular grid (Kazhdan's original
+    formulation: the indicator's gradient equals the smoothed oriented-normal
+    field, so solve ∇²χ = ∇·V spectrally with an FFT — the regular-grid
+    variant of the screened-Poisson step the reference runs through pymeshlab,
+    Generator.generate_mesh, point_modeling.py:269-279).
+
+    Returns an (R, R, R) field, higher inside the surface.
+    """
+    r = resolution
+    lo = np.asarray(lo, np.float64)
+    hi = np.asarray(hi, np.float64)
+    spacing = (hi - lo) / (r - 1)
+
+    # Trilinear splat of unit normals into the vector grid V.
+    p = (np.asarray(points, np.float64) - lo) / spacing  # grid coords
+    n = np.asarray(normals, np.float64)
+    n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    i0 = np.clip(np.floor(p).astype(np.int64), 0, r - 2)
+    f = np.clip(p - i0, 0.0, 1.0)
+    v = np.zeros((r, r, r, 3), np.float64)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (
+                    (f[:, 0] if dx else 1 - f[:, 0])
+                    * (f[:, 1] if dy else 1 - f[:, 1])
+                    * (f[:, 2] if dz else 1 - f[:, 2])
+                )
+                np.add.at(
+                    v,
+                    (i0[:, 0] + dx, i0[:, 1] + dy, i0[:, 2] + dz),
+                    w[:, None] * n,
+                )
+
+    # Spectral solve: χ̂ = i k·V̂ / |k|² with Gaussian pre-smoothing (the
+    # splatted field is a sum of deltas; smoothing plays the role of the
+    # Poisson octree's B-spline basis).
+    k = [np.fft.fftfreq(r, d=spacing[a]) * 2.0 * np.pi for a in range(3)]
+    kx, ky, kz = np.meshgrid(*k, indexing="ij")
+    k2 = kx * kx + ky * ky + kz * kz
+    sig = smooth_cells * spacing.mean()
+    gauss = np.exp(-0.5 * sig * sig * k2)
+    vh = [np.fft.fftn(v[..., a]) * gauss for a in range(3)]
+    div_h = 1j * (kx * vh[0] + ky * vh[1] + kz * vh[2])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        chi_h = np.where(k2 > 0, div_h / (-k2), 0.0)
+    chi = np.real(np.fft.ifftn(chi_h))
+
+    # Outward normals ⇒ ∇χ ≈ −V inside-positive; fix the sign so the field is
+    # higher inside (sample at the splat points vs the global mean).
+    at_pts = chi[
+        np.clip(np.round(p[:, 0]).astype(int), 0, r - 1),
+        np.clip(np.round(p[:, 1]).astype(int), 0, r - 1),
+        np.clip(np.round(p[:, 2]).astype(int), 0, r - 1),
+    ]
+    # points sit ON the surface: inside values are more extreme than the mean
+    interior_sign = -1.0 if at_pts.mean() < chi.mean() else 1.0
+    return interior_sign * chi
+
+
+def poisson_mesh_from_points(
+    points: np.ndarray,
+    normals: np.ndarray,
+    mask: Optional[np.ndarray] = None,
+    resolution: int = 128,
+    padding: float = 0.15,
+    smooth_cells: float = 1.5,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Point cloud + outward normals → mesh via FFT Poisson reconstruction +
+    marching tetrahedra.  The iso level is the median indicator value at the
+    input points (they lie on the surface by definition)."""
+    pts = np.asarray(points, np.float32)
+    nrm = np.asarray(normals, np.float32)
+    if mask is not None:
+        keep = np.asarray(mask)
+        pts, nrm = pts[keep], nrm[keep]
+    lo = pts.min(0) - padding * (pts.max(0) - pts.min(0)).max()
+    hi = pts.max(0) + padding * (pts.max(0) - pts.min(0)).max()
+    # cubic voxels: expand the box to a cube (FFT wavenumbers stay isotropic)
+    size = (hi - lo).max()
+    center = (hi + lo) / 2
+    lo, hi = center - size / 2, center + size / 2
+
+    chi = poisson_indicator_grid(
+        pts, nrm, lo, hi, resolution=resolution, smooth_cells=smooth_cells
+    )
+    r = resolution
+    spacing = (hi - lo) / (r - 1)
+    p = (pts - lo) / spacing
+    at_pts = chi[
+        np.clip(np.round(p[:, 0]).astype(int), 0, r - 1),
+        np.clip(np.round(p[:, 1]).astype(int), 0, r - 1),
+        np.clip(np.round(p[:, 2]).astype(int), 0, r - 1),
+    ]
+    iso = float(np.median(at_pts))
+    # marching_tetrahedra treats "< level" as inside; chi is inside-positive
+    return marching_tetrahedra(-chi, lo, hi, level=-iso)

@@ -16,7 +16,10 @@ import numpy as np
 
 from dss_tpu.data.io import save_ply
 from dss_tpu.geometry.cameras import FoVPerspectiveCameras
-from dss_tpu.geometry.meshing import generate_mesh_from_points
+from dss_tpu.geometry.meshing import (
+    generate_mesh_from_points,
+    poisson_mesh_from_points,
+)
 from dss_tpu.geometry.pointclouds import PointFilters
 from dss_tpu.models.point_model import PointModelParams, render_model
 from dss_tpu.render.ewa import RasterSettings
@@ -24,16 +27,27 @@ from dss_tpu.utils.mathutil import normalize
 
 
 class Generator:
-    def __init__(self, settings: RasterSettings, mesh_resolution: int = 96):
+    def __init__(self, settings: RasterSettings, mesh_resolution: int = 96,
+                 mesh_method: str = "poisson"):
         self.settings = settings
         self.mesh_resolution = mesh_resolution
+        self.mesh_method = mesh_method  # "poisson" (reference default) | "mls"
 
     def generate_mesh(
         self, params: PointModelParams, filters: Optional[PointFilters] = None
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Point cloud → triangle mesh (reference generate_mesh,
-        point_modeling.py:269-279)."""
+        point_modeling.py:269-279, runs screened Poisson via pymeshlab;
+        here: FFT Poisson reconstruction — see geometry.meshing — with the
+        MLS+marching-tetrahedra field as the alternative)."""
         mask = None if filters is None else np.asarray(filters.activation)
+        if self.mesh_method == "poisson":
+            return poisson_mesh_from_points(
+                np.asarray(params.points),
+                np.asarray(normalize(params.normals)),
+                mask=mask,
+                resolution=max(self.mesh_resolution, 96),
+            )
         return generate_mesh_from_points(
             np.asarray(params.points),
             np.asarray(normalize(params.normals)),
