@@ -1225,8 +1225,13 @@ def _bwd_tile_budget(tile_config):
     # Support AABB side = 2·(radius + scaled-median) px: ~70 px at the
     # initial scaler, spanning ≤ 3 tiles of 64 — a 4-tile budget covers it
     # with margin (36-slot budgets doubled the pair-sort cost at 100k pts).
-    # bin_splats reports (not silently drops) span overflow.
-    return t, max(cap, 512), chunk, max(mt, 4)
+    # Capacity must absorb the support-disc replication: central tiles of a
+    # concentrated scene see most visible points (measured 6.3k dropped/view
+    # on the yoga6 flagship at cap 512 — lost silhouette gradients).  The
+    # kernel's trip count is dynamic (counts_ref), so extra capacity costs
+    # only table build + block DMA.  bin_splats reports any residual
+    # overflow.
+    return t, max(cap, 2048), chunk, max(mt, 4)
 
 
 def _rasterize_with_bwd_table(image_size, points_per_pixel, tile_config,
