@@ -78,7 +78,10 @@ def main(argv=None):
     settings = config_mod.create_raster_settings(cfg)
     tcfg = config_mod.create_train_config(cfg)
     schedule = config_mod.create_anneal_schedule(cfg)
-    optimizer = config_mod.create_optimizer(cfg, learn)
+    steps_per_epoch = max(len(dataset) // int(cfg["training"]["batch_size"]), 1)
+    optimizer = config_mod.create_optimizer(
+        cfg, learn, steps_per_epoch=steps_per_epoch
+    )
     state = create_train_state(params, optimizer)
 
     # Resume ----------------------------------------------------------------

@@ -192,9 +192,18 @@ def create_model_params(cfg: dict, rng: Optional[np.random.Generator] = None):
     return params, learn
 
 
-def create_optimizer(cfg: dict, learn_flags: Optional[dict] = None):
+def create_optimizer(
+    cfg: dict,
+    learn_flags: Optional[dict] = None,
+    steps_per_epoch: int = 1,
+):
     """Per-group Adam with group lrs (zeroed for frozen groups) + MultiStepLR
-    (reference train_mvr.py:83-95, 128-130)."""
+    (reference train_mvr.py:83-95, 128-130).
+
+    The reference steps its MultiStepLR once per EPOCH (train_mvr.py:229), so
+    `scheduler_milestones` are epoch counts — pass `steps_per_epoch`
+    (= num_views // batch_size) to convert; milestones [500, 800] never fire
+    inside a standard 6000-iter run, exactly as in the reference."""
     from dss_tpu.training.trainer import make_optimizer
 
     t = cfg["training"]
@@ -209,7 +218,10 @@ def create_optimizer(cfg: dict, learn_flags: Optional[dict] = None):
         lr_points=lr("points", 0.01),
         lr_normals=lr("normals", 0.01),
         lr_colors=lr("colors", 1.0),
-        milestones=tuple(t.get("scheduler_milestones", ())),
+        milestones=tuple(
+            int(m) * max(int(steps_per_epoch), 1)
+            for m in t.get("scheduler_milestones", ())
+        ),
         gamma=float(t.get("scheduler_gamma", 0.5)),
     )
 
