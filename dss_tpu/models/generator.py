@@ -2,8 +2,9 @@
 rendered image sets.
 
 Reference: DSS/models/point_modeling.py `Generator` (248-348) —
-generate_mesh via pymeshlab screened Poisson (269-279; here: MLS + marching
-tetrahedra, see dss_tpu.geometry.meshing), generate_pointclouds with
+generate_mesh via pymeshlab screened Poisson (269-279; here: FFT-grid
+Poisson reconstruction by default, MLS + marching tetrahedra as the
+alternative, see dss_tpu.geometry.meshing), generate_pointclouds with
 colormapped features (284-326), generate_images (335-348).
 """
 from __future__ import annotations
