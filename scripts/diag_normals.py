@@ -12,9 +12,16 @@ Usage: python scripts/diag_normals.py [--iters 600] [--image-size 256]
        [--platform cpu] [--lr 0.01]
 """
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+# NOTE: do NOT run this with PYTHONPATH=/root/repo — overwriting PYTHONPATH
+# drops the container's /root/.axon_site entry and the axon TPU backend never
+# registers.  The scripts add the repo root themselves:
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -93,16 +100,18 @@ def main():
     all_lights = dataset.get_lights(None)
 
     @jax.jit
-    def step_fn(state, idx):
+    def step_fn(state, a_img, a_mask, a_cams, a_lights, idx):
+        # images/masks must be ARGUMENTS, not closed-over constants — baked
+        # constants blow up the remote-compile request (HTTP 413 at 400 MB).
         take = lambda x: jnp.take(x, idx, axis=0)
-        cams = jax.tree_util.tree_map(take, all_cams)
+        cams = jax.tree_util.tree_map(take, a_cams)
         lights = (
             None
-            if all_lights is None
-            else jax.tree_util.tree_map(take, all_lights)
+            if a_lights is None
+            else jax.tree_util.tree_map(take, a_lights)
         )
         return train_step(
-            state, cams, lights, take(all_img), take(all_mask)
+            state, cams, lights, take(a_img), take(a_mask)
         )
 
     def cos_to_gt(n):
@@ -114,7 +123,10 @@ def main():
     t0 = time.time()
     for it in range(1, args.iters + 1):
         idx = rng.choice(len(dataset), args.batch, replace=False)
-        state, metrics = step_fn(state, jnp.asarray(idx, jnp.int32))
+        state, metrics = step_fn(
+            state, all_img, all_mask, all_cams, all_lights,
+            jnp.asarray(idx, jnp.int32),
+        )
         if it % 50 == 0 or it == args.iters:
             c = cos_to_gt(np.asarray(state.params.normals))
             print(
