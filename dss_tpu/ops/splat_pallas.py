@@ -137,6 +137,7 @@ def bin_splats(
     scaler: jnp.ndarray | None = None,
     features: jnp.ndarray | None = None,
     backward_channels: bool = False,
+    pair_cap: int | None = None,
 ) -> BinnedSplats:
     """Build the per-tile candidate table.
 
@@ -146,12 +147,112 @@ def bin_splats(
     backward (px, py, pz, UNSCALED rx/ry) instead of the 13-channel forward
     layout — the backward kernel never reads conic/scaler/rgb, so gathering
     them only burns HBM bandwidth.
+    pair_cap: static bound on LIVE (tile, splat) pairs kept after the sort
+    (default 4·P forward / 6·P backward); excess is dropped and counted in
+    overflow.
     """
+    sorted_id, starts, span_overflow = _sorted_pairs(
+        pts, radii, image_size, tile_size,
+        max_tiles_x, max_tiles_y, extra_radius, sort_by_depth,
+    )
+    p = pts.shape[0]
+    n_tiles = (image_size // tile_size) ** 2
+    n_pairs = p * max_tiles_x * max_tiles_y
+
+    # Live-pair truncation: invalid pairs sort to the tail (tile key =
+    # n_tiles), so the first `live` rows of the sorted array are the real
+    # candidates.  The per-splat replication budget (rep = mx·my) makes
+    # n_pairs = rep·P, but the number of LIVE pairs is ~coverage·P — a much
+    # smaller static bound keeps every downstream gather proportional to
+    # real work (profile: the 1M-slot gathers were 29 ms of an 80 ms step).
+    # Truncated live pairs (only possible when every splat covers many
+    # tiles AND the scene is dense) are counted in overflow.
+    if pair_cap is None:
+        pair_cap = 6 * p if backward_channels else 4 * p
+    pair_cap = min(_round_up(pair_cap, 128), n_pairs)
+    live_total = starts[n_tiles]
+    trunc_overflow = jnp.maximum(live_total - pair_cap, 0)
+
+    starts_t = jnp.minimum(starts, pair_cap)
+    counts_full = starts_t[1:] - starts_t[:-1]
+    counts = jnp.minimum(counts_full, bin_capacity).astype(jnp.int32)
+    cap_overflow = jnp.sum(jnp.maximum(counts_full - bin_capacity, 0))
+    overflow = cap_overflow + span_overflow + trunc_overflow
+
+    # ONE channel gather in sorted-pair order (pair_cap rows), then the
+    # per-tile tables are CONTIGUOUS slices of it — dynamic_slice +
+    # dynamic_update_slice copies instead of 131k-slot random gathers
+    # (TPU's gather unit moves ~170M rows/s; contiguous copies move at
+    # memcpy speed).
+    src, sentinel = _channel_matrix(
+        pts, ellipse, cutoff, radii, extra_radius, scaler, features,
+        backward_channels,
+    )
+    c = src.shape[1]
+    sid = sorted_id[:pair_cap]
+    sorted_chans = src[sid]  # (pair_cap, C) — the only random gather
+    # Sentinel-pad the tail so per-tile slices never clamp into real data.
+    sorted_chans = jnp.concatenate(
+        [
+            sorted_chans,
+            jnp.broadcast_to(sentinel, (bin_capacity, c)),
+        ],
+        axis=0,
+    ).T  # (C, pair_cap + cap)
+    sid_pad = jnp.concatenate(
+        [sid, jnp.full((bin_capacity,), -1, jnp.int32)]
+    )
+
+    slot_j = jnp.arange(bin_capacity, dtype=jnp.int32)[None, :]
+    valid_slot = slot_j < counts[:, None]
+
+    def build_tile(ti, tabs):
+        ids_tab, ch_tab = tabs
+        s0 = starts_t[ti]
+        ids_sl = jax.lax.dynamic_slice(sid_pad, (s0,), (bin_capacity,))
+        ch_sl = jax.lax.dynamic_slice(
+            sorted_chans, (0, s0), (c, bin_capacity)
+        )
+        ids_tab = jax.lax.dynamic_update_slice(
+            ids_tab, ids_sl[None], (ti, 0)
+        )
+        ch_tab = jax.lax.dynamic_update_slice(
+            ch_tab, ch_sl[None], (ti, 0, 0)
+        )
+        return ids_tab, ch_tab
+
+    ids_tab0 = jnp.full((n_tiles, bin_capacity), -1, jnp.int32)
+    ch_tab0 = jnp.zeros((n_tiles, c, bin_capacity), jnp.float32)
+    ids_tab, ch_tab = jax.lax.fori_loop(
+        0, n_tiles, build_tile, (ids_tab0, ch_tab0)
+    )
+    tile_ids = jnp.where(valid_slot, ids_tab, -1)
+    chans = jnp.where(
+        valid_slot[:, None, :], ch_tab, sentinel[None, :, None]
+    )
+    return BinnedSplats(
+        tile_data=chans,
+        tile_ids=tile_ids,
+        tile_counts=counts,
+        overflow=overflow,
+    )
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _sorted_pairs(
+    pts, radii, image_size, tile_size, max_tiles_x, max_tiles_y,
+    extra_radius, sort_by_depth,
+):
+    """Build + sort the (tile, splat) pair array.  Returns (sorted_id
+    (P·rep,), starts (n_tiles+1,), span_overflow ()) — sorted by tile (and
+    depth within tile when sort_by_depth)."""
     p = pts.shape[0]
     s = image_size
     nt = s // tile_size
     n_tiles = nt * nt
-    rep = max_tiles_x * max_tiles_y
 
     px, py, pz = pts[:, 0], pts[:, 1], pts[:, 2]
     rx = radii[:, 0] + extra_radius
@@ -217,33 +318,23 @@ def bin_splats(
     else:
         sorted_key, sorted_id = jax.lax.sort_key_val(tile_key, splat_id)
 
-    n_pairs = p * rep
-    starts = jnp.searchsorted(sorted_key, jnp.arange(n_tiles + 1, dtype=jnp.int32))
-    counts = jnp.minimum(starts[1:] - starts[:-1], bin_capacity).astype(jnp.int32)
-    cap_overflow = jnp.sum(
-        jnp.maximum(starts[1:] - starts[:-1] - bin_capacity, 0)
+    starts = jnp.searchsorted(
+        sorted_key, jnp.arange(n_tiles + 1, dtype=jnp.int32)
     )
-    overflow = cap_overflow + jnp.sum(jnp.where(live & span_overflow, 1, 0))
-
-    # Table slot (tile, j) reads sorted row starts[tile]+j — a GATHER from
-    # the contiguous sorted pair array.  (A scatter formulation —
-    # table.at[key*cap+pos].set — dominated runtime at 100k points: TPU
-    # scatters serialize, gathers vectorize.)
-    tile_slot_src = starts[:-1, None] + jnp.arange(bin_capacity, dtype=jnp.int32)[None, :]
-    valid_slot = (
-        jnp.arange(bin_capacity, dtype=jnp.int32)[None, :] < counts[:, None]
+    return (
+        sorted_id,
+        starts,
+        jnp.sum(jnp.where(live & span_overflow, 1, 0)),
     )
-    safe_src = jnp.clip(tile_slot_src, 0, n_pairs - 1)
-    tile_ids = jnp.where(valid_slot, sorted_id[safe_src], -1)
 
-    # Gather per-candidate channels through tile_ids (valid slots point at
-    # original splat rows; padding gets sentinels that can never be accepted).
-    safe_id = jnp.maximum(tile_ids, 0)  # (n_tiles, M)
-    pad = tile_ids < 0
+
+def _channel_matrix(
+    pts, ellipse, cutoff, radii, extra_radius, scaler, features,
+    backward_channels,
+):
+    """(P, C) per-splat channel matrix + the padding sentinel row."""
+    px, py, pz = pts[:, 0], pts[:, 1], pts[:, 2]
     zeros = jnp.zeros_like(cutoff)
-
-    # One row-gather of a pre-stacked (P, C) matrix instead of C scalar
-    # gathers: TPU gathers with a contiguous trailing dim move whole rows.
     if backward_channels:
         src = jnp.stack([px, py, pz, radii[:, 0], radii[:, 1]], axis=1)
         sentinel = jnp.array([2.0, 2.0, -1.0, 0.0, 0.0], jnp.float32)
@@ -257,13 +348,13 @@ def bin_splats(
                 ellipse[:, 1],
                 ellipse[:, 2],
                 cutoff,
-                rx,
-                ry,
+                radii[:, 0] + extra_radius,
+                radii[:, 1] + extra_radius,
                 scaler if scaler is not None else zeros,
                 features[:, 0] if features is not None else zeros,
                 features[:, 1] if features is not None else zeros,
                 features[:, 2] if features is not None else zeros,
-                jnp.arange(p, dtype=jnp.float32),
+                jnp.arange(pts.shape[0], dtype=jnp.float32),
             ],
             axis=1,
         )
@@ -272,15 +363,7 @@ def bin_splats(
              0.0, -1.0],
             jnp.float32,
         )
-    rows = src.astype(jnp.float32)[safe_id]  # (n_tiles, M, C)
-    chans = jnp.where(pad[:, :, None], sentinel, rows)
-    chans = jnp.swapaxes(chans, 1, 2)  # (n_tiles, C, M)
-    return BinnedSplats(
-        tile_data=chans,
-        tile_ids=tile_ids,
-        tile_counts=counts,
-        overflow=overflow,
-    )
+    return src.astype(jnp.float32), sentinel
 
 
 # ---------------------------------------------------------------------------
@@ -424,12 +507,12 @@ def _fwd_kernel(
 
 
 def _fwd_kernel_lean(
-    counts_ref,  # (n_tiles,) SMEM scalar-prefetch: candidates per tile
-    data_ref,  # (G, C, M) VMEM
+    counts_ref,  # (V·n_tiles,) SMEM scalar-prefetch: candidates per tile
+    data_ref,  # (1, G, C, M) VMEM (one view's tile batch)
     dmt_ref,  # (1, 1) SMEM: depth merging threshold
-    cnt_out,  # (G, 1, TT) accepted count (occupancy = cnt > 0)
-    vis_out,  # (G, 1, M) per-candidate visibility flag
-    rgb_out,  # (G, 4, TT): weighted rgb sums + weight sum (fused compositing)
+    cnt_out,  # (1, G, 1, TT) accepted count (occupancy = cnt > 0)
+    vis_out,  # (1, G, 1, M) per-candidate visibility flag
+    rgb_out,  # (1, G, 4, TT): weighted rgb sums + weight sum (fused composite)
     *,
     tile_size: int,
     image_size: int,
@@ -446,11 +529,17 @@ def _fwd_kernel_lean(
     (TT, CM) reductions per chunk) leaves accept-test + one tri matmul + one
     composite matmul per chunk; z₀ for the depth window is a running min.
     Processes `tiles_per_step` tiles per grid step to amortize the ~15 µs
-    fixed per-step overhead."""
+    fixed per-step overhead.
+
+    View-batched: grid is (V, n_tiles/G) — one pallas call renders the whole
+    camera batch (vmap of the call would lower to an XLA while loop over
+    views with per-view dynamic slices, ~5 ms/step of overhead at 8 views)."""
     t = tile_size
     tt = t * t
     k = points_per_pixel
-    pid = pl.program_id(0)
+    vi = pl.program_id(0)
+    pid = pl.program_id(1)
+    n_tiles = n_tiles_x * n_tiles_x
 
     lin = jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0)
     inv_s = 1.0 / image_size
@@ -469,25 +558,25 @@ def _fwd_kernel_lean(
         yf = 1.0 - (2.0 * row.astype(jnp.float32) + 1.0) * inv_s
         xf = 1.0 - (2.0 * col.astype(jnp.float32) + 1.0) * inv_s
 
-        n_cand = jnp.minimum(counts_ref[g], m)
+        n_cand = jnp.minimum(counts_ref[vi * n_tiles + g], m)
         n_chunks = (n_cand + chunk - 1) // chunk
 
-        def body(i, carry):
+        def body(i, carry, gs=gs, xf=xf, yf=yf):
             z0, frgb, cnt = carry
             sl = pl.ds(i * chunk, chunk)
-            px = data_ref[gs, _CH_PX, sl][None, :]
-            py = data_ref[gs, _CH_PY, sl][None, :]
-            pz = data_ref[gs, _CH_PZ, sl][None, :]
-            a = data_ref[gs, _CH_A, sl][None, :]
-            b = data_ref[gs, _CH_B, sl][None, :]
-            c = data_ref[gs, _CH_C, sl][None, :]
-            cut = data_ref[gs, _CH_CUT, sl][None, :]
-            rx = data_ref[gs, _CH_RX, sl][None, :]
-            ry = data_ref[gs, _CH_RY, sl][None, :]
-            sc = data_ref[gs, _CH_SC, sl][None, :]
-            cr = data_ref[gs, _CH_R, sl]  # (CM,)
-            cg = data_ref[gs, _CH_G, sl]
-            cb = data_ref[gs, _CH_B2, sl]
+            px = data_ref[0, gs, _CH_PX, sl][None, :]
+            py = data_ref[0, gs, _CH_PY, sl][None, :]
+            pz = data_ref[0, gs, _CH_PZ, sl][None, :]
+            a = data_ref[0, gs, _CH_A, sl][None, :]
+            b = data_ref[0, gs, _CH_B, sl][None, :]
+            c = data_ref[0, gs, _CH_C, sl][None, :]
+            cut = data_ref[0, gs, _CH_CUT, sl][None, :]
+            rx = data_ref[0, gs, _CH_RX, sl][None, :]
+            ry = data_ref[0, gs, _CH_RY, sl][None, :]
+            sc = data_ref[0, gs, _CH_SC, sl][None, :]
+            cr = data_ref[0, gs, _CH_R, sl]  # (CM,)
+            cg = data_ref[0, gs, _CH_G, sl]
+            cb = data_ref[0, gs, _CH_B2, sl]
 
             dx = xf - px  # (TT, CM)
             dy = yf - py
@@ -520,25 +609,25 @@ def _fwd_kernel_lean(
             )  # (CM, 4)
             frgb = frgb + jnp.dot(w, cmat, preferred_element_type=jnp.float32)
             cnt = cnt + jnp.sum(accf, axis=1)
-            vis_out[gs, 0, sl] = jnp.max(wins, axis=0)
+            vis_out[0, gs, 0, sl] = jnp.max(wins, axis=0)
             return z0, frgb, cnt
 
-        vis_out[gs, 0, :] = jnp.zeros((m,), jnp.float32)
+        vis_out[0, gs, 0, :] = jnp.zeros((m,), jnp.float32)
         init = (
             jnp.full((tt,), jnp.inf, jnp.float32),
             jnp.zeros((tt, 4), jnp.float32),
             jnp.zeros((tt,), jnp.float32),
         )
         _, frgb, cnt = jax.lax.fori_loop(0, n_chunks, body, init)
-        cnt_out[gs] = cnt[None, :]
-        rgb_out[gs] = frgb.T  # (4, TT)
+        cnt_out[0, gs] = cnt[None, :]
+        rgb_out[0, gs] = frgb.T  # (4, TT)
 
 
-def rasterize_forward_pallas_lean(
-    pts: jnp.ndarray,
-    ellipse: jnp.ndarray,
-    cutoff: jnp.ndarray,
-    radii: jnp.ndarray,
+def rasterize_forward_views_lean(
+    pts: "jnp.ndarray",  # (V, P, 3)
+    ellipse,  # (V, P, 3)
+    cutoff,  # (V, P)
+    radii,  # (V, P, 2)
     depth_merging_threshold,
     image_size: int,
     points_per_pixel: int,
@@ -546,24 +635,28 @@ def rasterize_forward_pallas_lean(
     bin_capacity: int = 512,
     chunk: int = 128,
     max_tiles_xy: int = 4,
-    scaler: jnp.ndarray | None = None,
-    features: jnp.ndarray | None = None,
+    scaler=None,  # (V, P)
+    features=None,  # (V, P, 3)
 ):
-    """Lean forward: returns (occ (S,S), visible (P,), rgbw (S,S,4),
-    overflow (), binned) — same math as the full path for those outputs
-    (parity-tested), no per-fragment buffers."""
+    """View-batched lean forward: per-view binning (vmapped jnp) + ONE
+    pallas call with grid (V, n_tiles/G).  Same per-view math as the
+    single-view path (parity-tested).  Returns (occ (V,S,S), visible (V,P),
+    rgbw (V,S,S,4), overflow (V,), binned)."""
     s = image_size
     t = tile_size
     assert s % t == 0, "image_size must be a multiple of tile_size"
     nt = s // t
     n_tiles = nt * nt
     tt = t * t
+    v, p = pts.shape[:2]
 
-    binned = bin_splats(
-        pts, ellipse, cutoff, radii, s, t, bin_capacity,
-        max_tiles_x=max_tiles_xy, max_tiles_y=max_tiles_xy,
-        scaler=scaler, features=features,
-    )
+    binned = jax.vmap(
+        lambda pt, el, cu, ra, sc, fe: bin_splats(
+            pt, el, cu, ra, s, t, bin_capacity,
+            max_tiles_x=max_tiles_xy, max_tiles_y=max_tiles_xy,
+            scaler=sc, features=fe,
+        )
+    )(pts, ellipse, cutoff, radii, scaler, features)
 
     g_batch = _tiles_per_step(n_tiles)
     kern = functools.partial(
@@ -578,19 +671,19 @@ def rasterize_forward_pallas_lean(
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles // g_batch,),
+        grid=(v, n_tiles // g_batch),
         in_specs=[
             pl.BlockSpec(
-                (g_batch, N_CHANNELS, bin_capacity),
-                lambda i, counts: (i, 0, 0),
+                (1, g_batch, N_CHANNELS, bin_capacity),
+                lambda vi, i, counts: (vi, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((g_batch, 1, tt), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g_batch, 1, bin_capacity), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g_batch, 4, tt), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g_batch, 1, tt), lambda vi, i, counts: (vi, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g_batch, 1, bin_capacity), lambda vi, i, counts: (vi, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g_batch, 4, tt), lambda vi, i, counts: (vi, i, 0, 0), memory_space=pltpu.VMEM),
         ],
     )
     cnt_t, vis_t, rgb_t = pl.pallas_call(
@@ -600,30 +693,62 @@ def rasterize_forward_pallas_lean(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, 1, tt), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1, bin_capacity), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 4, tt), jnp.float32),
+            jax.ShapeDtypeStruct((v, n_tiles, 1, tt), jnp.float32),
+            jax.ShapeDtypeStruct((v, n_tiles, 1, bin_capacity), jnp.float32),
+            jax.ShapeDtypeStruct((v, n_tiles, 4, tt), jnp.float32),
         ],
         interpret=_interpret_mode(),
     )(
-        binned.tile_counts,
+        binned.tile_counts.reshape(-1),
         binned.tile_data,
         jnp.asarray(depth_merging_threshold, jnp.float32).reshape(1, 1),
     )
 
-    def untile(x, ch):  # (n_tiles, ch, tt) → (S, S, ch)
-        x = x.reshape(nt, nt, ch, t, t)
-        x = jnp.transpose(x, (0, 3, 1, 4, 2))
-        return x.reshape(s, s, ch)
+    def untile(x, ch):  # (V, n_tiles, ch, tt) -> (V, S, S, ch)
+        x = x.reshape(v, nt, nt, ch, t, t)
+        x = jnp.transpose(x, (0, 1, 4, 2, 5, 3))
+        return x.reshape(v, s, s, ch)
 
     occ = (untile(cnt_t, 1)[..., 0] > 0).astype(jnp.float32)
     rgbw = untile(rgb_t, 4)
-    p = pts.shape[0]
-    ids = binned.tile_ids.reshape(-1)
+    ids = binned.tile_ids.reshape(v, -1)
     seg = jnp.where(ids >= 0, ids, p)
-    vis = sorted_segment_sum(vis_t.reshape(-1, 1), seg, p)[:, 0]
+    vis = jax.vmap(
+        lambda vf, sg: sorted_segment_sum(vf[:, None], sg, p)[:, 0]
+    )(vis_t.reshape(v, -1), seg)
     visible = vis > 0.0
     return occ, visible, rgbw, binned.overflow, binned
+
+
+def rasterize_forward_pallas_lean(
+    pts: "jnp.ndarray",
+    ellipse,
+    cutoff,
+    radii,
+    depth_merging_threshold,
+    image_size: int,
+    points_per_pixel: int,
+    tile_size: int = 64,
+    bin_capacity: int = 512,
+    chunk: int = 128,
+    max_tiles_xy: int = 4,
+    scaler=None,
+    features=None,
+):
+    """Lean forward, single view: wraps the view-batched kernel with V=1.
+    Returns (occ (S,S), visible (P,), rgbw (S,S,4), overflow (), binned)."""
+    p = pts.shape[0]
+    occ, visible, rgbw, overflow, binned = rasterize_forward_views_lean(
+        pts[None], ellipse[None], cutoff[None], radii[None],
+        depth_merging_threshold, image_size, points_per_pixel,
+        tile_size=tile_size, bin_capacity=bin_capacity, chunk=chunk,
+        max_tiles_xy=max_tiles_xy,
+        scaler=(jnp.zeros((p,), jnp.float32) if scaler is None else scaler)[None],
+        features=(jnp.zeros((p, 3), jnp.float32) if features is None
+                  else features)[None],
+    )
+    squeeze = jax.tree_util.tree_map(lambda x: x[0], binned)
+    return occ[0], visible[0], rgbw[0], overflow[0], squeeze
 
 
 def rasterize_forward_pallas(
@@ -763,11 +888,11 @@ def rasterize_forward_pallas(
 
 
 def _feat_bwd_kernel(
-    counts_ref,  # (n_tiles,) SMEM scalar-prefetch: candidates per tile
-    data_ref,  # (G, C, M) VMEM: the forward candidate table (depth-sorted)
-    grad_ref,  # (G, TT, 4) VMEM: grad wrt rgbw per tile (ch 3 unused)
+    counts_ref,  # (V·n_tiles,) SMEM scalar-prefetch: candidates per tile
+    data_ref,  # (1, G, C, M) VMEM: the forward candidate table (depth-sorted)
+    grad_ref,  # (1, G, TT, 4) VMEM: grad wrt rgbw per tile (ch 3 unused)
     dmt_ref,  # (1, 1) SMEM: depth merging threshold
-    gf_out,  # (G, 4, M): per-candidate Σ_pix w·grad_rgb (rows 0..2) — row 3 pad
+    gf_out,  # (1, G, 4, M): per-candidate sum_pix w*grad_rgb (rows 0..2)
     *,
     tile_size: int,
     image_size: int,
@@ -777,18 +902,21 @@ def _feat_bwd_kernel(
     m: int,
     tiles_per_step: int,
 ):
-    """Feature gradient of the fused composite: rgb_out[pix,c] = Σ_j w_j·c_j
+    """Feature gradient of the fused composite: rgb_out[pix,c] = sum_j w_j*c_j
     with w treated as locally constant (reference semantics), so
-    gfeat[j,c] = Σ_pix w[pix,j]·grad_rgb[pix,c] — ONE MXU matmul per chunk
+    gfeat[j,c] = sum_pix w[pix,j]*grad_rgb[pix,c] — ONE MXU matmul per chunk
     over the candidate table instead of a 1.3M-fragment segment sum (the
     fragment formulation measured ~65 ms/step at 512²×8 views).
 
     Recomputes accept/slot/window exactly as the forward kernel (candidates
-    are depth-sorted; z₀ per pixel is a running min over accepted depths)."""
+    are depth-sorted; z₀ per pixel is a running min over accepted depths).
+    View-batched: grid (V, n_tiles/G), one call per camera batch."""
     t = tile_size
     tt = t * t
     k = points_per_pixel
-    pid = pl.program_id(0)
+    vi = pl.program_id(0)
+    pid = pl.program_id(1)
+    n_tiles = n_tiles_x * n_tiles_x
 
     lin = jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0)
     inv_s = 1.0 / image_size
@@ -805,24 +933,24 @@ def _feat_bwd_kernel(
         yf = 1.0 - (2.0 * row.astype(jnp.float32) + 1.0) * inv_s
         xf = 1.0 - (2.0 * col.astype(jnp.float32) + 1.0) * inv_s
 
-        n_cand = jnp.minimum(counts_ref[g], m)
+        n_cand = jnp.minimum(counts_ref[vi * n_tiles + g], m)
         n_chunks = (n_cand + chunk - 1) // chunk
-        gf_out[gs, :, :] = jnp.zeros((4, m), jnp.float32)
-        grad_t = grad_ref[gs]  # (TT, 4)
+        gf_out[0, gs, :, :] = jnp.zeros((4, m), jnp.float32)
+        grad_t = grad_ref[0, gs]  # (TT, 4)
 
         def body(i, carry, gs=gs, xf=xf, yf=yf, grad_t=grad_t):
             z0, cnt = carry
             sl = pl.ds(i * chunk, chunk)
-            px = data_ref[gs, _CH_PX, sl][None, :]
-            py = data_ref[gs, _CH_PY, sl][None, :]
-            pz = data_ref[gs, _CH_PZ, sl][None, :]
-            a = data_ref[gs, _CH_A, sl][None, :]
-            b = data_ref[gs, _CH_B, sl][None, :]
-            c = data_ref[gs, _CH_C, sl][None, :]
-            cut = data_ref[gs, _CH_CUT, sl][None, :]
-            rx = data_ref[gs, _CH_RX, sl][None, :]
-            ry = data_ref[gs, _CH_RY, sl][None, :]
-            sc = data_ref[gs, _CH_SC, sl][None, :]
+            px = data_ref[0, gs, _CH_PX, sl][None, :]
+            py = data_ref[0, gs, _CH_PY, sl][None, :]
+            pz = data_ref[0, gs, _CH_PZ, sl][None, :]
+            a = data_ref[0, gs, _CH_A, sl][None, :]
+            b = data_ref[0, gs, _CH_B, sl][None, :]
+            c = data_ref[0, gs, _CH_C, sl][None, :]
+            cut = data_ref[0, gs, _CH_CUT, sl][None, :]
+            rx = data_ref[0, gs, _CH_RX, sl][None, :]
+            ry = data_ref[0, gs, _CH_RY, sl][None, :]
+            sc = data_ref[0, gs, _CH_SC, sl][None, :]
 
             dx = xf - px
             dy = yf - py
@@ -847,7 +975,7 @@ def _feat_bwd_kernel(
             )
             w = jnp.exp(-0.5 * jnp.where(accept, q, 0.0)) * sc * wins
             # (4, TT) @ (TT, CM) on the MXU; rows 0..2 are the rgb grads
-            gf_out[gs, :, sl] = jnp.dot(
+            gf_out[0, gs, :, sl] = jnp.dot(
                 grad_t.T, w, preferred_element_type=jnp.float32
             )
             cnt = cnt + jnp.sum(accf, axis=1)
@@ -862,9 +990,9 @@ def _feat_bwd_kernel(
         )
 
 
-def feat_backward_pallas(
-    binned: BinnedSplats,
-    grad_rgbw: jnp.ndarray,  # (S, S, 4)
+def feat_backward_views(
+    binned: BinnedSplats,  # view-batched leaves (V, ...)
+    grad_rgbw: jnp.ndarray,  # (V, S, S, 4)
     depth_merging_threshold,
     p: int,
     image_size: int,
@@ -873,17 +1001,18 @@ def feat_backward_pallas(
     bin_capacity: int,
     chunk: int = 128,
 ) -> jnp.ndarray:
-    """Per-point feature gradient from the saved forward candidate table."""
+    """Per-point feature gradient (V, P, 3) from the saved forward tables."""
     s = image_size
     t = tile_size
     nt = s // t
     n_tiles = nt * nt
     tt = t * t
+    v = grad_rgbw.shape[0]
 
     g_tiles = (
-        grad_rgbw.reshape(nt, t, nt, t, 4)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(n_tiles, tt, 4)
+        grad_rgbw.reshape(v, nt, t, nt, t, 4)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(v, n_tiles, tt, 4)
     )
 
     g_batch = _tiles_per_step(n_tiles)
@@ -899,20 +1028,20 @@ def feat_backward_pallas(
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles // g_batch,),
+        grid=(v, n_tiles // g_batch),
         in_specs=[
             pl.BlockSpec(
-                (g_batch, N_CHANNELS, bin_capacity),
-                lambda i, counts: (i, 0, 0),
+                (1, g_batch, N_CHANNELS, bin_capacity),
+                lambda vi, i, counts: (vi, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((g_batch, tt, 4), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g_batch, tt, 4), lambda vi, i, counts: (vi, i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec(
-                (g_batch, 4, bin_capacity),
-                lambda i, counts: (i, 0, 0),
+                (1, g_batch, 4, bin_capacity),
+                lambda vi, i, counts: (vi, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -924,33 +1053,49 @@ def feat_backward_pallas(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, 4, bin_capacity), jnp.float32),
+            jax.ShapeDtypeStruct((v, n_tiles, 4, bin_capacity), jnp.float32),
         ],
         interpret=_interpret_mode(),
     )(
-        binned.tile_counts,
+        binned.tile_counts.reshape(-1),
         binned.tile_data,
         g_tiles,
         jnp.asarray(depth_merging_threshold, jnp.float32).reshape(1, 1),
     )
-    ids = binned.tile_ids.reshape(-1)
+    ids = binned.tile_ids.reshape(v, -1)
     seg = jnp.where(ids >= 0, ids, p)
-    partials = gf_t[:, :3, :].transpose(0, 2, 1).reshape(-1, 3)
-    return sorted_segment_sum(partials, seg, p)
+    partials = gf_t[:, :, :3, :].transpose(0, 1, 3, 2).reshape(v, -1, 3)
+    return jax.vmap(lambda pa, sg: sorted_segment_sum(pa, sg, p))(
+        partials, seg
+    )
 
 
-# ---------------------------------------------------------------------------
-# Backward (occupancy) kernel
-# ---------------------------------------------------------------------------
+def feat_backward_pallas(
+    binned: BinnedSplats,
+    grad_rgbw: jnp.ndarray,  # (S, S, 4)
+    depth_merging_threshold,
+    p: int,
+    image_size: int,
+    points_per_pixel: int,
+    tile_size: int,
+    bin_capacity: int,
+    chunk: int = 128,
+) -> jnp.ndarray:
+    """Single-view wrapper over feat_backward_views."""
+    batched = jax.tree_util.tree_map(lambda x: x[None], binned)
+    return feat_backward_views(
+        batched, grad_rgbw[None], depth_merging_threshold, p,
+        image_size, points_per_pixel, tile_size, bin_capacity, chunk,
+    )[0]
 
 
 def _bwd_kernel(
-    counts_ref,  # (n_tiles,) SMEM scalar-prefetch: candidates per tile
-    data_ref,  # (G, C, M): candidate channels (rx/ry = UNSCALED radii)
-    grad_ref,  # (G, TT_pad, 1): per-pixel grad_occ per tile
-    misc_ref,  # (1, 1): cur_r² (SMEM scalar)
-    gx_out,  # (G, 1, M)
-    gy_out,  # (G, 1, M)
+    counts_ref,  # (V·n_tiles,) SMEM scalar-prefetch: candidates per tile
+    data_ref,  # (1, G, C, M): candidate channels (rx/ry = UNSCALED radii)
+    grad_ref,  # (1, G, TT_pad, 1): per-pixel grad_occ per tile
+    misc_ref,  # (V, 1): per-view cur_r² (SMEM)
+    gx_out,  # (1, G, 1, M)
+    gy_out,  # (1, G, 1, M)
     *,
     tile_size: int,
     image_size: int,
@@ -959,13 +1104,17 @@ def _bwd_kernel(
     m: int,
     tiles_per_step: int,
 ):
+    """Occupancy-gradient kernel (field d/‖d‖² with the grad>0∧outside-splat
+    rule); view-batched: grid (V, n_tiles/G)."""
     t = tile_size
     tt = t * t
-    pid = pl.program_id(0)
+    vi = pl.program_id(0)
+    pid = pl.program_id(1)
+    n_tiles = n_tiles_x * n_tiles_x
 
     lin = jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0)
     inv_s = 1.0 / image_size
-    cur_r2 = misc_ref[0, 0]
+    cur_r2 = misc_ref[vi, 0]
 
     for gs in range(tiles_per_step):
         g = pid * tiles_per_step + gs
@@ -975,20 +1124,20 @@ def _bwd_kernel(
         col = tx * t + lin % t
         yf = 1.0 - (2.0 * row.astype(jnp.float32) + 1.0) * inv_s
         xf = 1.0 - (2.0 * col.astype(jnp.float32) + 1.0) * inv_s
-        gpix = grad_ref[gs, :tt, :]  # (TT, 1)
+        gpix = grad_ref[0, gs, :tt, :]  # (TT, 1)
 
-        n_cand = jnp.minimum(counts_ref[g], m)
+        n_cand = jnp.minimum(counts_ref[vi * n_tiles + g], m)
         n_chunks = (n_cand + chunk - 1) // chunk
-        gx_out[gs, 0, :] = jnp.zeros((m,), jnp.float32)
-        gy_out[gs, 0, :] = jnp.zeros((m,), jnp.float32)
+        gx_out[0, gs, 0, :] = jnp.zeros((m,), jnp.float32)
+        gy_out[0, gs, 0, :] = jnp.zeros((m,), jnp.float32)
 
         def body(i, _, gs=gs, xf=xf, yf=yf, gpix=gpix):
             sl = pl.ds(i * chunk, chunk)
-            px = data_ref[gs, _BCH_PX, sl][None, :]
-            py = data_ref[gs, _BCH_PY, sl][None, :]
-            pz = data_ref[gs, _BCH_PZ, sl][None, :]
-            rx = data_ref[gs, _BCH_RX, sl][None, :]
-            ry = data_ref[gs, _BCH_RY, sl][None, :]
+            px = data_ref[0, gs, _BCH_PX, sl][None, :]
+            py = data_ref[0, gs, _BCH_PY, sl][None, :]
+            pz = data_ref[0, gs, _BCH_PZ, sl][None, :]
+            rx = data_ref[0, gs, _BCH_RX, sl][None, :]
+            ry = data_ref[0, gs, _BCH_RY, sl][None, :]
 
             dx = xf - px  # (TT, CM)
             dy = yf - py
@@ -1007,8 +1156,8 @@ def _bwd_kernel(
             w = jnp.where(contribute, gpix / jnp.maximum(dist2, 1e-10), 0.0)
             # chunks cover disjoint candidate ranges → write straight to the
             # output refs (no loop-carried buffer, no scatter)
-            gx_out[gs, 0, sl] = jnp.sum(w * dx, axis=0)
-            gy_out[gs, 0, sl] = jnp.sum(w * dy, axis=0)
+            gx_out[0, gs, 0, sl] = jnp.sum(w * dx, axis=0)
+            gy_out[0, gs, 0, sl] = jnp.sum(w * dy, axis=0)
             return 0
 
         jax.lax.fori_loop(0, n_chunks, body, 0)
@@ -1105,6 +1254,84 @@ def occ_backward_pallas(
     )
 
 
+def occ_backward_views_from_binned(
+    binned: BinnedSplats,  # view-batched leaves (V, ...)
+    cur_r2: jnp.ndarray,  # (V,)
+    grad_occ: jnp.ndarray,  # (V, S, S)
+    p: int,
+    image_size: int,
+    tile_size: int,
+    bin_capacity: int,
+    chunk: int = 128,
+) -> jnp.ndarray:
+    """Occ-backward kernel over prebuilt per-view support tables; returns
+    per-view xy gradients (V, P, 2)."""
+    s = image_size
+    t = tile_size
+    nt = s // t
+    n_tiles = nt * nt
+    tt = t * t
+    v = grad_occ.shape[0]
+
+    g_tiles = (
+        grad_occ.reshape(v, nt, t, nt, t)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(v, n_tiles, tt, 1)
+    )
+
+    g_batch = _tiles_per_step(n_tiles)
+    kern = functools.partial(
+        _bwd_kernel,
+        tile_size=t,
+        image_size=s,
+        n_tiles_x=nt,
+        chunk=chunk,
+        m=bin_capacity,
+        tiles_per_step=g_batch,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(v, n_tiles // g_batch),
+        in_specs=[
+            pl.BlockSpec(
+                (1, g_batch, N_BWD_CHANNELS, bin_capacity),
+                lambda vi, i, counts: (vi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, g_batch, tt, 1), lambda vi, i, counts: (vi, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, g_batch, 1, bin_capacity), lambda vi, i, counts: (vi, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g_batch, 1, bin_capacity), lambda vi, i, counts: (vi, i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    gx_t, gy_t = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((v, n_tiles, 1, bin_capacity), jnp.float32),
+            jax.ShapeDtypeStruct((v, n_tiles, 1, bin_capacity), jnp.float32),
+        ],
+        interpret=_interpret_mode(),
+    )(binned.tile_counts.reshape(-1), binned.tile_data, g_tiles,
+      jnp.asarray(cur_r2, jnp.float32).reshape(v, 1))
+
+    # Scatter per-(view, tile, candidate) partials back to points (one
+    # 2-channel sorted segment sum per view instead of scatter-adds).
+    ids = binned.tile_ids.reshape(v, -1)
+    seg = jnp.where(ids >= 0, ids, p)
+    partials = jnp.stack(
+        [gx_t.reshape(v, -1), gy_t.reshape(v, -1)], axis=2
+    )
+    return jax.vmap(lambda pa, sg: sorted_segment_sum(pa, sg, p))(
+        partials, seg
+    )
+
+
 def occ_backward_from_binned(
     binned: BinnedSplats,
     cur_r2: jnp.ndarray,
@@ -1115,68 +1342,12 @@ def occ_backward_from_binned(
     bin_capacity: int,
     chunk: int = 128,
 ) -> jnp.ndarray:
-    """Occ-backward kernel over a prebuilt support-binned candidate table."""
-    s = image_size
-    t = tile_size
-    nt = s // t
-    n_tiles = nt * nt
-    tile_data = binned.tile_data
-
-    # Per-tile pixel gradients, padded to a VMEM-friendly row count.
-    tt = t * t
-    g_tiles = (
-        grad_occ.reshape(nt, t, nt, t)
-        .transpose(0, 2, 1, 3)
-        .reshape(n_tiles, tt, 1)
-    )
-
-    kern = functools.partial(
-        _bwd_kernel,
-        tile_size=t,
-        image_size=s,
-        n_tiles_x=nt,
-        chunk=chunk,
-        m=bin_capacity,
-        tiles_per_step=_tiles_per_step(n_tiles),
-    )
-    g_batch = _tiles_per_step(n_tiles)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles // g_batch,),
-        in_specs=[
-            pl.BlockSpec(
-                (g_batch, N_BWD_CHANNELS, bin_capacity),
-                lambda i, counts: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((g_batch, tt, 1), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((g_batch, 1, bin_capacity), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g_batch, 1, bin_capacity), lambda i, counts: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-    )
-    gx_t, gy_t = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, 1, bin_capacity), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1, bin_capacity), jnp.float32),
-        ],
-        interpret=_interpret_mode(),
-    )(binned.tile_counts, tile_data, g_tiles,
-      jnp.asarray(cur_r2, jnp.float32).reshape(1, 1))
-
-    # Scatter per-(tile, candidate) partials back to points (one 2-channel
-    # sorted segment sum instead of two scatter-adds).
-    ids = binned.tile_ids.reshape(-1)
-    seg = jnp.where(ids >= 0, ids, p)
-    partials = jnp.stack([gx_t.reshape(-1), gy_t.reshape(-1)], axis=1)
-    return sorted_segment_sum(partials, seg, p)
+    """Single-view wrapper over occ_backward_views_from_binned."""
+    batched = jax.tree_util.tree_map(lambda x: x[None], binned)
+    return occ_backward_views_from_binned(
+        batched, jnp.asarray(cur_r2, jnp.float32).reshape(1), grad_occ[None],
+        p, image_size, tile_size, bin_capacity, chunk,
+    )[0]
 
 
 # ---------------------------------------------------------------------------
@@ -1356,11 +1527,13 @@ def _rasterize_lean_with_tables(image_size, points_per_pixel, tile_config,
                                 pts_screen, ellipse_params, cutoff, radii,
                                 dmt, radii_backward_scaler, scaler, features):
     t, cap, chunk, mt = tile_config
-    occ, visible, rgbw, fwd_overflow, binned_fwd = rasterize_forward_pallas_lean(
-        pts_screen, ellipse_params, cutoff, radii,
-        dmt, image_size, points_per_pixel,
-        tile_size=t, bin_capacity=cap, chunk=chunk, max_tiles_xy=mt,
-        scaler=scaler, features=features,
+    occ, visible, rgbw, fwd_overflow, binned_fwd = (
+        rasterize_forward_pallas_lean(
+            pts_screen, ellipse_params, cutoff, radii,
+            dmt, image_size, points_per_pixel,
+            tile_size=t, bin_capacity=cap, chunk=chunk, max_tiles_xy=mt,
+            scaler=scaler, features=features,
+        )
     )
     bt, bcap, _, bmt = _bwd_tile_budget(tile_config)
     binned_bwd, cur_r2 = bin_for_occ_backward(
@@ -1415,3 +1588,110 @@ def _pallas_lean_bwd(image_size, points_per_pixel, tile_config, residuals,
 
 
 rasterize_points_pallas_lean.defvjp(_pallas_lean_fwd, _pallas_lean_bwd)
+
+
+# ---------------------------------------------------------------------------
+# View-batched lean entry point (the training/bench hot path)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def rasterize_views_pallas_lean(
+    image_size: int,
+    points_per_pixel: int,
+    tile_config: Tuple[int, int, int, int],
+    pts_screen: jnp.ndarray,  # (V, P, 3)
+    ellipse_params: jnp.ndarray,  # (V, P, 3)
+    cutoff: jnp.ndarray,  # (V, P)
+    radii: jnp.ndarray,  # (V, P, 2)
+    depth_merging_threshold,
+    radii_backward_scaler,
+    scaler: jnp.ndarray,  # (V, P)
+    features: jnp.ndarray,  # (V, P, 3)
+):
+    """View-batched training-path rasterization: the camera batch renders in
+    ONE pallas call per kernel with grid (V, n_tiles/G) — vmap of the
+    single-view entry instead lowers to an XLA while loop over views with
+    per-view dynamic slices (profiled ~5 ms/step of overhead at 8 views).
+    Per-view math is identical to rasterize_points_pallas_lean
+    (parity-tested); gradients reach pts_screen (occupancy field) and
+    features (fused-composite weights treated locally constant).
+
+    Returns (occ (V,S,S), visible (V,P), rgbw (V,S,S,4), overflow (V,))."""
+    out, _res = _views_lean_fwd_impl(
+        image_size, points_per_pixel, tile_config,
+        pts_screen, ellipse_params, cutoff, radii,
+        depth_merging_threshold, radii_backward_scaler, scaler, features,
+    )
+    return out
+
+
+def _views_lean_fwd_impl(image_size, points_per_pixel, tile_config,
+                         pts_screen, ellipse_params, cutoff, radii,
+                         dmt, radii_backward_scaler, scaler, features):
+    t, cap, chunk, mt = tile_config
+    occ, visible, rgbw, fwd_overflow, binned_fwd = (
+        rasterize_forward_views_lean(
+            pts_screen, ellipse_params, cutoff, radii,
+            dmt, image_size, points_per_pixel,
+            tile_size=t, bin_capacity=cap, chunk=chunk, max_tiles_xy=mt,
+            scaler=scaler, features=features,
+        )
+    )
+    bt, bcap, _, bmt = _bwd_tile_budget(tile_config)
+
+    def bin_bwd_one(pts_v, radii_v, vis_v):
+        return bin_for_occ_backward(
+            pts_v, radii_v, vis_v, radii_backward_scaler,
+            image_size, bt, bcap, bmt,
+        )
+
+    binned_bwd, cur_r2 = jax.vmap(bin_bwd_one)(pts_screen, radii, visible)
+    overflow = (fwd_overflow + binned_bwd.overflow).astype(jnp.int32)
+    out = (occ, visible, rgbw, overflow)
+    return out, (pts_screen, binned_fwd, binned_bwd, cur_r2, dmt)
+
+
+def _views_lean_fwd(image_size, points_per_pixel, tile_config, pts_screen,
+                    ellipse_params, cutoff, radii, dmt,
+                    radii_backward_scaler, scaler, features):
+    out, res = _views_lean_fwd_impl(
+        image_size, points_per_pixel, tile_config,
+        pts_screen, ellipse_params, cutoff, radii, dmt,
+        radii_backward_scaler, scaler, features,
+    )
+    return out, res
+
+
+def _views_lean_bwd(image_size, points_per_pixel, tile_config, residuals,
+                    grads):
+    (pts_screen, binned_fwd, binned_bwd, cur_r2, dmt) = residuals
+    (grad_occ, _grad_vis, grad_rgbw, _grad_of) = grads
+    v, p = pts_screen.shape[:2]
+    t, cap, chunk, _mt = tile_config
+    bt, bcap, _, _ = _bwd_tile_budget(tile_config)
+
+    grad_xy = occ_backward_views_from_binned(
+        binned_bwd, cur_r2, grad_occ, p, image_size,
+        tile_size=bt, bin_capacity=bcap, chunk=chunk,
+    )
+    grad_pts = jnp.concatenate(
+        [grad_xy, jnp.zeros((v, p, 1), pts_screen.dtype)], axis=-1
+    )
+    grad_features = feat_backward_views(
+        binned_fwd, grad_rgbw, dmt, p, image_size, points_per_pixel,
+        tile_size=t, bin_capacity=cap, chunk=chunk,
+    )
+    return (
+        grad_pts,
+        jnp.zeros((v, p, 3), pts_screen.dtype),
+        jnp.zeros((v, p), pts_screen.dtype),
+        jnp.zeros((v, p, 2), pts_screen.dtype),
+        jnp.zeros(()),
+        jnp.zeros(()),
+        jnp.zeros((v, p), pts_screen.dtype),
+        grad_features,
+    )
+
+
+rasterize_views_pallas_lean.defvjp(_views_lean_fwd, _views_lean_bwd)

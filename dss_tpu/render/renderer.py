@@ -29,6 +29,34 @@ from dss_tpu.render.rasterizer import (
 )
 
 
+def _tile_config(p: int, settings: RasterSettings):
+    """(tile_size, bin_capacity, chunk, max_tiles) for the pallas backend.
+
+    - Capacity guard: with few tiles (small images) every splat can land in
+      every tile, so capacity caps at the padded point count (the reference
+      similarly sizes bins by max(10000, P), rasterizer.py:732-733).
+    - Per-grid-step overhead dominates the fragment kernel (measured: tile
+      64 > 32 > 16 at 512²) — the tile can never exceed the image.
+    - Central tiles of a concentrated scene legitimately see most candidates
+      (measured 2.5k dropped/view on yoga6 at cap 512) — generous capacity,
+      up to 2048 (or P).  The compact layout ignores capacity entirely (it
+      has no cap).
+    """
+    p_cap = -(-p // settings.bin_chunk) * settings.bin_chunk
+    tile_size = min(settings.tile_size, settings.image_size)
+    n_tiles = (settings.image_size // tile_size) ** 2
+    bin_capacity = min(
+        p_cap,
+        max(settings.bin_capacity, 2048, 4 * p_cap // max(n_tiles, 1)),
+    )
+    return (
+        tile_size,
+        bin_capacity,
+        settings.bin_chunk,
+        settings.max_tiles_per_splat,
+    )
+
+
 def render_single_view(
     points: jnp.ndarray,
     normals: jnp.ndarray,
@@ -84,30 +112,7 @@ def render_single_view(
             rasterize_points_pallas_lean,
         )
 
-        # Guard against candidate-table overflow: with few tiles (small
-        # images) every splat can land in every tile, so cap capacity at the
-        # padded point count (the reference similarly sizes bins by
-        # max(10000, P), rasterizer.py:732-733).
-        p_cap = -(-points.shape[0] // settings.bin_chunk) * settings.bin_chunk
-        # Per-grid-step overhead dominates the fragment kernel (measured:
-        # tile 64 > 32 > 16 at 512²) — but the tile can never exceed the image.
-        tile_size = min(settings.tile_size, settings.image_size)
-        n_tiles = (settings.image_size // tile_size) ** 2
-        # Central tiles of a concentrated scene legitimately see most
-        # candidates (measured 2.5k dropped/view on yoga6 at cap 512); the
-        # kernels' candidate trip count is dynamic, so generous capacity
-        # costs only table build + block DMA.  Up to 2048 (or P) by default.
-        bin_capacity = min(
-            p_cap,
-            max(settings.bin_capacity, 2048, 4 * p_cap // max(n_tiles, 1)),
-        )
-
-        tile_config = (
-            tile_size,
-            bin_capacity,
-            settings.bin_chunk,
-            settings.max_tiles_per_splat,
-        )
+        tile_config = _tile_config(points.shape[0], settings)
         raster_args = (
             pts_screen,
             splats.ellipse_params,
@@ -188,11 +193,25 @@ def render_views(
     vrk_h: Optional[jnp.ndarray] = None,
     **kwargs,
 ) -> Tuple[jnp.ndarray, Fragments, jnp.ndarray]:
-    """Render a batch of V views by vmapping over cameras (and lights, whose
-    leading axis must be V when provided).
+    """Render a batch of V views.
+
+    The per-view math (shading, EWA setup, projection) is vmapped; on the
+    pallas lean path the rasterization itself runs as ONE view-batched kernel
+    call — the view axis lives in the Pallas grid.  vmap of the kernel would
+    instead lower to an XLA while loop over views with per-view dynamic
+    slices (profiled at ~5 ms/step of pure overhead at 8 views) and, for the
+    compact layout, materialize every view's resident buffers at once.
 
     Returns (rgba (V, S, S, 4), fragments (V, ...), visible (V, P)).
     """
+    backend = settings.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "reference"
+    if backend == "pallas" and settings.lean_fragments:
+        return _render_views_batched(
+            points, normals, colors, mask, cameras, lights, settings,
+            vrk_h, _tile_config(points.shape[0], settings), **kwargs,
+        )
 
     def one(cam_tree, light_tree):
         cam = jax.tree_util.tree_map(lambda x: x[None], cam_tree)
@@ -205,3 +224,60 @@ def render_views(
             jax.tree_util.tree_map(lambda x: x, cameras)
         )
     return jax.vmap(one)(cameras, lights)
+
+
+def _render_views_batched(
+    points, normals, colors, mask, cameras, lights, settings, vrk_h,
+    tile_config, shininess: float = 64.0, normalize_composite: bool = True,
+    texture_fn=None, row_chunk: int = 8,
+):
+    """Lean pallas path with the view axis folded into the kernel grid."""
+    from dss_tpu.ops.splat_pallas import rasterize_views_pallas_lean
+
+    def prep(cam_tree, light_tree):
+        cam = jax.tree_util.tree_map(lambda x: x[None], cam_tree)
+        if texture_fn is not None:
+            shaded = texture_fn(points, normals, cam)
+        elif light_tree is not None:
+            shaded = shade_points(
+                points, normals, colors, light_tree,
+                cam.camera_position()[0], shininess,
+            )
+        else:
+            shaded = colors
+        splats = prepare_splats(points, normals, mask, cam, settings, vrk_h)
+        pts_screen = splats.pts_screen
+        if settings.clip_pts_grad > 0:
+            pts_screen = clip_grad_norm(pts_screen, settings.clip_pts_grad)
+        return (
+            pts_screen, splats.ellipse_params, splats.cutoff, splats.radii,
+            splats.scaler, shaded,
+        )
+
+    if lights is None:
+        pts_s, ell, cut, rad, scl, shaded = jax.vmap(
+            lambda c: prep(c, None)
+        )(cameras)
+    else:
+        pts_s, ell, cut, rad, scl, shaded = jax.vmap(prep)(cameras, lights)
+
+    occ, visible, rgbw, overflow = rasterize_views_pallas_lean(
+        settings.image_size, settings.points_per_pixel, tile_config,
+        pts_s, ell, cut, rad,
+        settings.depth_merging_threshold, settings.radii_backward_scaler,
+        scl, shaded,
+    )
+    if normalize_composite:
+        rgb = rgbw[..., :3] / jnp.maximum(rgbw[..., 3:4], 1e-10)
+    else:
+        rgb = rgbw[..., :3]
+    rgba = jnp.concatenate([rgb, occ[..., None]], axis=-1)
+    v = rgba.shape[0]
+    empty = jnp.zeros(
+        (v, settings.image_size, settings.image_size, 0), jnp.float32
+    )
+    fragments = Fragments(
+        idx=empty.astype(jnp.int32), zbuf=empty, qvalue=empty,
+        occupancy=occ, overflow=overflow,
+    )
+    return rgba, fragments, visible

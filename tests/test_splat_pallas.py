@@ -291,6 +291,64 @@ class TestRendererBackendParity:
             )
 
 
+class TestViewBatchedLean:
+    def test_view_batched_matches_reference(self):
+        """render_views on the pallas lean path folds the view axis into the
+        kernel grid (rasterize_views_pallas_lean) — outputs AND gradients
+        must match the per-view reference backend."""
+        import jax
+
+        from dss_tpu.render.renderer import render_views
+        from dss_tpu.render.lighting import DirectionalLights
+
+        n = 300
+        pts = jnp.asarray(fibonacci_sphere(n, 0.5))
+        normals = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+        colors = jnp.broadcast_to(jnp.array([0.7, 0.4, 0.3]), pts.shape)
+        mask = jnp.ones((n,), bool)
+        r, t = look_at_view_transform(
+            dist=jnp.full((3,), 2.0),
+            elev=jnp.array([0.0, 25.0, -20.0]),
+            azim=jnp.array([0.0, 80.0, 200.0]),
+        )
+        cams = FoVPerspectiveCameras.create(r, t, fov=60.0)
+        lights = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (3,) + x.shape),
+            DirectionalLights.create(),
+        )
+
+        def run(backend):
+            st = RasterSettings(
+                image_size=32, points_per_pixel=5, backface_culling=True,
+                backend=backend, tile_size=16, lean_fragments=True,
+            )
+
+            def loss(p, c):
+                rgba, frags, vis = render_views(
+                    p, normals, c, mask, cams, lights, st
+                )
+                return jnp.mean((rgba - 0.2) ** 2), (rgba, vis)
+
+            (l, (rgba, vis)), g = jax.value_and_grad(
+                loss, argnums=(0, 1), has_aux=True
+            )(pts, colors)
+            return l, rgba, vis, g
+
+        l_ref, rgba_ref, vis_ref, (gp_ref, gc_ref) = run("reference")
+        l_pal, rgba_pal, vis_pal, (gp_pal, gc_pal) = run("pallas")
+        np.testing.assert_allclose(float(l_ref), float(l_pal), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(rgba_ref), np.asarray(rgba_pal), atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(vis_ref), np.asarray(vis_pal))
+        np.testing.assert_allclose(
+            np.asarray(gp_ref), np.asarray(gp_pal), rtol=1e-3, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(gc_ref), np.asarray(gc_pal), rtol=1e-3, atol=1e-4
+        )
+
+
 class TestSortedSegmentSum:
     """sorted_segment_sum replaces scatter-add segment sums on hot paths
     (TPU scatters serialize); it must match jax.ops.segment_sum exactly in
