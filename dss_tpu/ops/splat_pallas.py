@@ -1272,6 +1272,7 @@ def occ_backward_views_from_binned(
     tile_size: int,
     bin_capacity: int,
     chunk: int = 128,
+    tiles_per_step: int = 1,
 ) -> jnp.ndarray:
     """Occ-backward kernel over prebuilt per-view support tables; returns
     per-view xy gradients (V, P, 2)."""
@@ -1288,7 +1289,7 @@ def occ_backward_views_from_binned(
         .reshape(v, n_tiles, tt, 1)
     )
 
-    g_batch = _tiles_per_step(n_tiles)
+    g_batch = _tiles_per_step(n_tiles, tiles_per_step)
     kern = functools.partial(
         _bwd_kernel,
         tile_size=t,
