@@ -206,6 +206,31 @@ class TestModelAndTrainStep:
         # points should have moved
         assert float(jnp.abs(state.params.points - params.points).max()) > 0
 
+    def test_train_trajectory_pinned_pallas(self):
+        """Full-stack regression lock: 4 deterministic train steps on the
+        pallas backend must reproduce a pinned loss trajectory.  The round-2
+        kernel rework (fast table build + view-batched grid) reproduced the
+        flagship E5/E8 runs bit-for-bit — this pins that property at test
+        scale so any future semantics drift in shading/EWA/kernels/losses/
+        optimizer fails loudly.  (Regenerate the constants deliberately if a
+        semantics change is intended.)"""
+        params, cams, settings = self._setup()
+        settings = settings.replace(backend="pallas", tile_size=16)
+        optimizer = make_optimizer()
+        state = create_train_state(params, optimizer)
+        cfg = TrainConfig(lambda_proj=0.01, lambda_repel=0.01)
+        schedule = AnnealSchedule()
+        step = jax.jit(make_train_step(optimizer, settings, cfg, schedule))
+
+        img = jnp.full((2, 32, 32, 3), 0.25)
+        mask_img = jnp.zeros((2, 32, 32)).at[:, 8:24, 8:24].set(1.0)
+        losses = []
+        for _ in range(4):
+            state, metrics = step(state, cams, None, img, mask_img)
+            losses.append(float(metrics["loss"]))
+        pinned = [0.308618, 0.738219, 0.522067, 0.410642]
+        np.testing.assert_allclose(losses, pinned, rtol=1e-4)
+
     def test_chamfer(self):
         x = jnp.asarray(fibonacci_sphere(200, 1.0))
         cd, cn = chamfer_distance(x, x, x, x)
