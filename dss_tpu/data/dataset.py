@@ -232,11 +232,25 @@ class ViewSampler:
 
     def epoch(self):
         """Yield batches of view indices covering one epoch."""
+        for batch in self.epoch_batches():
+            yield batch
+
+    def epoch_batches(self) -> np.ndarray:
+        """One epoch's batches as a (steps_per_epoch, batch_size) array.
+
+        Lets the train loop upload the whole epoch's indices to the device
+        ONCE and select per-step batches on-device — a per-iteration (B,)
+        index upload over the TPU network relay measured ~15 ms/step of
+        host-side gap (device step time 62 ms, wall 80 ms)."""
         if self.weights is None:
             order = self.rng.permutation(self.num_views)
         else:
             order = self.rng.choice(
                 self.num_views, size=self.num_views, replace=True, p=self.weights
             )
-        for i in range(0, self.num_views - self.batch_size + 1, self.batch_size):
-            yield order[i : i + self.batch_size]
+        steps = max((self.num_views - self.batch_size) // self.batch_size + 1, 1)
+        n = min(steps * self.batch_size, self.num_views)
+        steps = n // self.batch_size
+        return order[: steps * self.batch_size].reshape(
+            steps, self.batch_size
+        )
