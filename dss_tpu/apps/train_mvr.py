@@ -190,6 +190,13 @@ def main(argv=None):
         if stop:
             break
         epoch_np = sampler.epoch_batches()
+        # The device step selects its batch as epoch_idx[state.step % steps]
+        # — that phase only matches the host loop while epochs are constant
+        # length and state.step advances exactly once per iteration.
+        assert epoch_np.shape[0] == steps_per_epoch, (
+            f"sampler epoch length {epoch_np.shape[0]} != steps_per_epoch "
+            f"{steps_per_epoch} used for the LR schedule"
+        )
         epoch_idx_dev = jnp.asarray(epoch_np, jnp.int32)  # ONE upload/epoch
         for step_in_epoch in range(epoch_np.shape[0]):
             # Host-side copy of the batch the device step selects (used by
@@ -219,6 +226,17 @@ def main(argv=None):
                     "epoch %d it %d loss %.5f (%.3fs/it)",
                     epoch, it, scalars.get("loss", float("nan")), dt,
                 )
+                # Active signal, not just a logged column: nonzero means the
+                # static binning budgets (bin_capacity / max_tiles_per_splat
+                # / pair_cap) dropped candidates — fragments or silhouette
+                # gradients were lost this step (see splat_pallas.bin_splats).
+                if scalars.get("bin_overflow", 0.0) > 0:
+                    logger.warning(
+                        "bin_overflow=%d at it %d: binning budgets dropped "
+                        "candidates — raise bin_capacity/max_tiles_per_splat"
+                        "/pair_cap or gradients will silently degrade",
+                        int(scalars["bin_overflow"]), it,
+                    )
 
             if args.prune_every > 0 and it % args.prune_every == 0:
                 from dss_tpu.models.point_model import prune_dead_points

@@ -242,15 +242,21 @@ class ViewSampler:
         ONCE and select per-step batches on-device — a per-iteration (B,)
         index upload over the TPU network relay measured ~15 ms/step of
         host-side gap (device step time 62 ms, wall 80 ms)."""
+        if self.num_views < self.batch_size:
+            # Degenerate config: fewer views than the batch — one batch per
+            # epoch, sampled with replacement (the old generator silently
+            # yielded ZERO batches here and training spun doing nothing).
+            return self.rng.choice(
+                self.num_views, size=(1, self.batch_size), replace=True,
+                p=self.weights,
+            )
         if self.weights is None:
             order = self.rng.permutation(self.num_views)
         else:
             order = self.rng.choice(
                 self.num_views, size=self.num_views, replace=True, p=self.weights
             )
-        steps = max((self.num_views - self.batch_size) // self.batch_size + 1, 1)
-        n = min(steps * self.batch_size, self.num_views)
-        steps = n // self.batch_size
+        steps = self.num_views // self.batch_size
         return order[: steps * self.batch_size].reshape(
             steps, self.batch_size
         )

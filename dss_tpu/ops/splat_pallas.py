@@ -168,7 +168,12 @@ def bin_splats(
     # Truncated live pairs (only possible when every splat covers many
     # tiles AND the scene is dense) are counted in overflow.
     if pair_cap is None:
-        pair_cap = 6 * p if backward_channels else 4 * p
+        # Backward: the scaled support disc can span ~3×3 tiles early in the
+        # anneal (radii_backward_scaler=10) → live pairs approach 9·P; 10·P
+        # covers that with margin.  Forward: splats rarely span >2×2 tiles.
+        # Truncation is reported through overflow either way (and the train
+        # CLI warns on nonzero bin_overflow).
+        pair_cap = 10 * p if backward_channels else 4 * p
     pair_cap = min(_round_up(pair_cap, 128), n_pairs)
     live_total = starts[n_tiles]
     trunc_overflow = jnp.maximum(live_total - pair_cap, 0)

@@ -57,6 +57,37 @@ def _tile_config(p: int, settings: RasterSettings):
     )
 
 
+def _prep_view(points, normals, colors, mask, camera, lights, settings,
+               vrk_h, shininess, texture_fn):
+    """Per-view prep shared by the single-view and view-batched paths:
+    shading (LightingTexture / NeuralTexture, texture.py:74-162) → EWA setup
+    (masks, not reallocation) → optional per-point grad clip.
+    Returns (shaded (P, 3), splats, pts_screen (P, 3))."""
+    if texture_fn is not None:
+        shaded = texture_fn(points, normals, camera)
+    elif lights is not None:
+        shaded = shade_points(
+            points, normals, colors, lights, camera.camera_position()[0],
+            shininess,
+        )
+    else:
+        shaded = colors
+    splats = prepare_splats(points, normals, mask, camera, settings, vrk_h)
+    pts_screen = splats.pts_screen
+    if settings.clip_pts_grad > 0:
+        pts_screen = clip_grad_norm(pts_screen, settings.clip_pts_grad)
+    return shaded, splats, pts_screen
+
+
+def _finish_composite(rgbw, occ, normalize_composite):
+    """rgbw (…, 4) weighted rgb sums + weight sum → rgba with alpha = occ."""
+    if normalize_composite:
+        rgb = rgbw[..., :3] / jnp.maximum(rgbw[..., 3:4], 1e-10)
+    else:
+        rgb = rgbw[..., :3]
+    return jnp.concatenate([rgb, occ[..., None]], axis=-1)
+
+
 def render_single_view(
     points: jnp.ndarray,
     normals: jnp.ndarray,
@@ -83,22 +114,10 @@ def render_single_view(
     Returns:
       rgba (S, S, 4), fragments, visible (P,) bool.
     """
-    # 1. Shading (LightingTexture / NeuralTexture, texture.py:74-162).
-    if texture_fn is not None:
-        shaded = texture_fn(points, normals, camera)
-    elif lights is not None:
-        shaded = shade_points(
-            points, normals, colors, lights, camera.camera_position()[0], shininess
-        )
-    else:
-        shaded = colors
-
-    # 2. Per-point EWA setup + culls (masks, not reallocation).
-    splats = prepare_splats(points, normals, mask, camera, settings, vrk_h)
-
-    pts_screen = splats.pts_screen
-    if settings.clip_pts_grad > 0:
-        pts_screen = clip_grad_norm(pts_screen, settings.clip_pts_grad)
+    shaded, splats, pts_screen = _prep_view(
+        points, normals, colors, mask, camera, lights, settings, vrk_h,
+        shininess, texture_fn,
+    )
 
     # 3. Rasterize (custom VJP: occupancy/zbuf gradients, see rasterizer.py).
     backend = settings.backend
@@ -148,11 +167,7 @@ def render_single_view(
             )
         # Compositing was fused into the fragment kernel: rgbw carries the
         # weighted rgb sums + weight sum; only the norm division remains.
-        if normalize_composite:
-            rgb = rgbw[..., :3] / jnp.maximum(rgbw[..., 3:4], 1e-10)
-        else:
-            rgb = rgbw[..., :3]
-        rgba = jnp.concatenate([rgb, occ[..., None]], axis=-1)
+        rgba = _finish_composite(rgbw, occ, normalize_composite)
         return rgba, fragments, visible
 
     idx, zbuf, qvalue, occ = rasterize_points(
@@ -236,19 +251,10 @@ def _render_views_batched(
 
     def prep(cam_tree, light_tree):
         cam = jax.tree_util.tree_map(lambda x: x[None], cam_tree)
-        if texture_fn is not None:
-            shaded = texture_fn(points, normals, cam)
-        elif light_tree is not None:
-            shaded = shade_points(
-                points, normals, colors, light_tree,
-                cam.camera_position()[0], shininess,
-            )
-        else:
-            shaded = colors
-        splats = prepare_splats(points, normals, mask, cam, settings, vrk_h)
-        pts_screen = splats.pts_screen
-        if settings.clip_pts_grad > 0:
-            pts_screen = clip_grad_norm(pts_screen, settings.clip_pts_grad)
+        shaded, splats, pts_screen = _prep_view(
+            points, normals, colors, mask, cam, light_tree, settings, vrk_h,
+            shininess, texture_fn,
+        )
         return (
             pts_screen, splats.ellipse_params, splats.cutoff, splats.radii,
             splats.scaler, shaded,
@@ -267,11 +273,7 @@ def _render_views_batched(
         settings.depth_merging_threshold, settings.radii_backward_scaler,
         scl, shaded,
     )
-    if normalize_composite:
-        rgb = rgbw[..., :3] / jnp.maximum(rgbw[..., 3:4], 1e-10)
-    else:
-        rgb = rgbw[..., :3]
-    rgba = jnp.concatenate([rgb, occ[..., None]], axis=-1)
+    rgba = _finish_composite(rgbw, occ, normalize_composite)
     v = rgba.shape[0]
     empty = jnp.zeros(
         (v, settings.image_size, settings.image_size, 0), jnp.float32
