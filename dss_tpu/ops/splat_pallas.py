@@ -170,10 +170,16 @@ def bin_splats(
     if pair_cap is None:
         # Backward: the scaled support disc can span ~3×3 tiles early in the
         # anneal (radii_backward_scaler=10) → live pairs approach 9·P; 10·P
-        # covers that with margin.  Forward: splats rarely span >2×2 tiles.
-        # Truncation is reported through overflow either way (and the train
-        # CLI warns on nonzero bin_overflow).
-        pair_cap = 10 * p if backward_channels else 4 * p
+        # covers that with margin at small P.  At large P the median radius
+        # (and with it the support disc) shrinks with point spacing, while
+        # the bound-sized channel gather grows — the 10·P bound measured
+        # 56 ms/step at 100k — so dense clouds use 5·P.  Forward: splats
+        # rarely span >2×2 tiles.  Truncation is reported through overflow
+        # either way (and the train CLI warns on nonzero bin_overflow).
+        if backward_channels:
+            pair_cap = 10 * p if p <= 20000 else 5 * p
+        else:
+            pair_cap = 4 * p
     pair_cap = min(_round_up(pair_cap, 128), n_pairs)
     live_total = starts[n_tiles]
     trunc_overflow = jnp.maximum(live_total - pair_cap, 0)

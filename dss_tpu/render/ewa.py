@@ -124,6 +124,10 @@ def compute_vrk_h_isotropic(
     return jnp.clip(h, clamp_lo, clamp_hi)
 
 
+_VRK_GLOBAL_EXACT_MAX = 8192  # below: exact mean (goldens, flagship 5k)
+_VRK_GLOBAL_SAMPLES = 4096
+
+
 def compute_vrk_h_global(
     points: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
@@ -132,13 +136,29 @@ def compute_vrk_h_global(
 ) -> jnp.ndarray:
     """Scale-invariant global kernel size: mean over the cloud of the per-point
     h_k, clamped (reference `_compute_global_Vrk`, rasterizer.py:293-342).
-    Returns a scalar ()."""
+    Returns a scalar ().
+
+    Large clouds (P > 8192) estimate the mean from a deterministic strided
+    subsample of 4096 query points, each still matched against the FULL
+    cloud: the brute-force self-kNN was 385 ms/step (29%) of the 100k-point
+    profile, and the mean of h over 4096 of 100k samples has ~1% standard
+    error before the clamp even applies.  Small clouds (every golden/parity
+    test and the 5k flagship) stay exact.
+    """
+    p = points.shape[0]
     if mask is None:
-        mask = jnp.ones(points.shape[:1], bool)
-    sq = _self_knn7(points, mask)
+        mask = jnp.ones((p,), bool)
+    if p > _VRK_GLOBAL_EXACT_MAX:
+        stride = p // _VRK_GLOBAL_SAMPLES
+        qi = jnp.arange(_VRK_GLOBAL_SAMPLES, dtype=jnp.int32) * stride
+        sq, _ = knn_points(points[qi], points, mask[qi], mask, k=7)
+        qmask = mask[qi]
+    else:
+        sq = _self_knn7(points, mask)
+        qmask = mask
     sq = jnp.where(jnp.isfinite(sq), sq, 0.0)
     h = 0.5 * jnp.max(sq[:, 1:], axis=-1)
-    w = mask.astype(points.dtype)
+    w = qmask.astype(points.dtype)
     h_mean = jnp.sum(h * w) / eps_denom(jnp.sum(w))
     return jnp.clip(h_mean, clamp_lo, clamp_hi)
 
