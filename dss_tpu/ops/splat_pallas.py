@@ -179,7 +179,10 @@ def bin_splats(
         if backward_channels:
             pair_cap = 10 * p if p <= 20000 else 5 * p
         else:
-            pair_cap = 4 * p
+            # Dense clouds: splats shrink with spacing (1-2 px at 100k), so
+            # ~1.5 live pairs/splat — 2·P is generous and halves the
+            # 3.2M-row channel gather measured at 100k.
+            pair_cap = 4 * p if p <= 20000 else 2 * p
     pair_cap = min(_round_up(pair_cap, 128), n_pairs)
     live_total = starts[n_tiles]
     trunc_overflow = jnp.maximum(live_total - pair_cap, 0)
@@ -1412,24 +1415,31 @@ def rasterize_points_pallas(
     return out
 
 
-def _bwd_tile_budget(tile_config):
+def _bwd_tile_budget(tile_config, p=None):
     t, cap, chunk, mt = tile_config
     # Support AABB side = 2·(radius + scaled-median) px: ~70 px at the
     # initial scaler, spanning ≤ 3 tiles of 64 — a 4-tile budget covers it
     # with margin (36-slot budgets doubled the pair-sort cost at 100k pts).
+    # Dense clouds need less: median radius (and with it the support disc)
+    # shrinks with point spacing (~22 px AABB at 100k, ≤ 2 tiles), while the
+    # P·rep pair arrays feed every sort — rep 16 → 4 at large P cuts the two
+    # 1.6M-pair sorts 4×.  Span overflow is reported (and the train CLI
+    # warns) if a scene violates the smaller budget.
     # Capacity must absorb the support-disc replication: central tiles of a
     # concentrated scene see most visible points (measured 6.3k dropped/view
     # on the yoga6 flagship at cap 512 — lost silhouette gradients).  The
     # kernel's trip count is dynamic (counts_ref), so extra capacity costs
     # only table build + block DMA.  bin_splats reports any residual
     # overflow.
-    return t, max(cap, 2048), chunk, max(mt, 4)
+    mt_bwd = max(mt, 4) if (p is None or p <= 20000) else min(mt, 2)
+    return t, max(cap, 2048), chunk, mt_bwd
 
 
 def _rasterize_with_bwd_table(image_size, points_per_pixel, tile_config,
                               pts_screen, ellipse_params, cutoff, radii,
                               dmt, radii_backward_scaler, scaler, features):
     t, cap, chunk, mt = tile_config
+    p = pts_screen.shape[0]
     (idx, zbuf, qv, occ, frag_scaler, visible, rgbw, fwd_overflow,
      binned_fwd) = rasterize_forward_pallas(
         pts_screen, ellipse_params, cutoff, radii,
@@ -1440,7 +1450,7 @@ def _rasterize_with_bwd_table(image_size, points_per_pixel, tile_config,
     # The occ-backward candidate table depends only on forward quantities —
     # build it here so (a) its overflow is part of the observable output and
     # (b) the backward pass skips the bin entirely.
-    bt, bcap, _, bmt = _bwd_tile_budget(tile_config)
+    bt, bcap, _, bmt = _bwd_tile_budget(tile_config, p)
     binned_bwd, cur_r2 = bin_for_occ_backward(
         pts_screen, radii, visible, radii_backward_scaler,
         image_size, bt, bcap, bmt,
@@ -1471,7 +1481,7 @@ def _pallas_bwd(image_size, points_per_pixel, tile_config, residuals, grads):
      _grad_of) = grads
     p = pts_screen.shape[0]
     t, cap, chunk, _mt = tile_config
-    bt, bcap, _, _ = _bwd_tile_budget(tile_config)
+    bt, bcap, _, _ = _bwd_tile_budget(tile_config, p)
 
     grad_xy = occ_backward_from_binned(
         binned_bwd, cur_r2, grad_occ, p,
@@ -1548,6 +1558,7 @@ def _rasterize_lean_with_tables(image_size, points_per_pixel, tile_config,
                                 pts_screen, ellipse_params, cutoff, radii,
                                 dmt, radii_backward_scaler, scaler, features):
     t, cap, chunk, mt = tile_config
+    p = pts_screen.shape[0]
     occ, visible, rgbw, fwd_overflow, binned_fwd = (
         rasterize_forward_pallas_lean(
             pts_screen, ellipse_params, cutoff, radii,
@@ -1556,7 +1567,7 @@ def _rasterize_lean_with_tables(image_size, points_per_pixel, tile_config,
             scaler=scaler, features=features,
         )
     )
-    bt, bcap, _, bmt = _bwd_tile_budget(tile_config)
+    bt, bcap, _, bmt = _bwd_tile_budget(tile_config, p)
     binned_bwd, cur_r2 = bin_for_occ_backward(
         pts_screen, radii, visible, radii_backward_scaler,
         image_size, bt, bcap, bmt,
@@ -1583,7 +1594,7 @@ def _pallas_lean_bwd(image_size, points_per_pixel, tile_config, residuals,
     (grad_occ, _grad_vis, grad_rgbw, _grad_of) = grads
     p = pts_screen.shape[0]
     t, cap, chunk, _mt = tile_config
-    bt, bcap, _, _ = _bwd_tile_budget(tile_config)
+    bt, bcap, _, _ = _bwd_tile_budget(tile_config, p)
 
     grad_xy = occ_backward_from_binned(
         binned_bwd, cur_r2, grad_occ, p,
@@ -1651,6 +1662,7 @@ def _views_lean_fwd_impl(image_size, points_per_pixel, tile_config,
                          pts_screen, ellipse_params, cutoff, radii,
                          dmt, radii_backward_scaler, scaler, features):
     t, cap, chunk, mt = tile_config
+    p = pts_screen.shape[1]
     occ, visible, rgbw, fwd_overflow, binned_fwd = (
         rasterize_forward_views_lean(
             pts_screen, ellipse_params, cutoff, radii,
@@ -1659,7 +1671,7 @@ def _views_lean_fwd_impl(image_size, points_per_pixel, tile_config,
             scaler=scaler, features=features,
         )
     )
-    bt, bcap, _, bmt = _bwd_tile_budget(tile_config)
+    bt, bcap, _, bmt = _bwd_tile_budget(tile_config, p)
 
     def bin_bwd_one(pts_v, radii_v, vis_v):
         return bin_for_occ_backward(
@@ -1690,7 +1702,7 @@ def _views_lean_bwd(image_size, points_per_pixel, tile_config, residuals,
     (grad_occ, _grad_vis, grad_rgbw, _grad_of) = grads
     v, p = pts_screen.shape[:2]
     t, cap, chunk, _mt = tile_config
-    bt, bcap, _, _ = _bwd_tile_budget(tile_config)
+    bt, bcap, _, _ = _bwd_tile_budget(tile_config, p)
 
     grad_xy = occ_backward_views_from_binned(
         binned_bwd, cur_r2, grad_occ, p, image_size,

@@ -49,11 +49,20 @@ def _tile_config(p: int, settings: RasterSettings):
         p_cap,
         max(settings.bin_capacity, 2048, 4 * p_cap // max(n_tiles, 1)),
     )
+    # Dense clouds: splat radii shrink with point spacing (1-2 px at 100k),
+    # so a 2×2 tile budget suffices and the P·rep pair arrays (which feed
+    # every binning sort) shrink 4×.  Span overflow is reported — and the
+    # train CLI warns — if a scene violates the smaller budget.
+    max_tiles = (
+        settings.max_tiles_per_splat
+        if p <= 20000
+        else min(settings.max_tiles_per_splat, 2)
+    )
     return (
         tile_size,
         bin_capacity,
         settings.bin_chunk,
-        settings.max_tiles_per_splat,
+        max_tiles,
     )
 
 
