@@ -167,3 +167,47 @@ class TestRowSharding:
         )
         assert len(rgba.sharding.device_set) == 8
         np.testing.assert_allclose(np.asarray(rgba), np.asarray(ref), atol=1e-5)
+
+
+class TestShardedPallasViews:
+    def test_pallas_batched_path_under_view_sharding(self, eight_devices):
+        """The view-batched pallas entry (rasterize_views_pallas_lean) must
+        compile and produce identical gradients when the camera batch is
+        GSPMD-sharded over an 8-device mesh.  (Correctness pin; per-shard
+        scaling via shard_map is a round-3 item.)"""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from dss_tpu.parallel.mesh import make_mesh
+        from dss_tpu.render.ewa import RasterSettings
+        from dss_tpu.render.renderer import render_views
+
+        n = 300
+        pts = jnp.asarray(fibonacci_sphere(n, 0.5))
+        normals = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+        colors = jnp.full_like(pts, 0.6)
+        mask = jnp.ones((n,), bool)
+        r, t = look_at_view_transform(
+            dist=jnp.full((8,), 2.0),
+            elev=jnp.arange(8.0),
+            azim=jnp.arange(8.0) * 45.0,
+        )
+        cams = FoVPerspectiveCameras.create(r, t, fov=60.0)
+        st = RasterSettings(
+            image_size=32, points_per_pixel=3, backend="pallas", tile_size=16
+        )
+
+        def loss(p, c):
+            rgba, _, _ = render_views(p, normals, colors, mask, c, None, st)
+            return jnp.mean((rgba - 0.2) ** 2)
+
+        g0 = jax.jit(lambda p: jax.grad(loss)(p, cams))(pts)
+        mesh = make_mesh(8)
+        sh_cams = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P("views")))
+            if x.ndim >= 1 and x.shape[0] == 8
+            else x,
+            cams,
+        )
+        g1 = jax.jit(lambda p: jax.grad(loss)(p, sh_cams))(pts)
+        np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
