@@ -83,6 +83,100 @@ def make_sharded_train_step(train_step, mesh: Mesh, axis: str = "views"):
     return step
 
 
+def make_shardmap_train_step(
+    optimizer,
+    settings,
+    cfg,
+    schedule,
+    mesh: Mesh,
+    axis: str = "views",
+):
+    """Distributed train step with EXPLICIT per-shard execution (shard_map):
+    each device computes loss/grads on its local slice of the view batch and
+    the gradients cross ICI in one hand-placed psum — by construction, not by
+    hoping GSPMD partitions the pallas custom calls.  The optimizer update
+    runs replicated on the pmean'd gradients, so the NaN guard and Adam
+    moments stay bitwise-identical across devices.
+
+    Semantics match make_train_step on the full batch: per-view loss means
+    of equal shards pmean to the global mean; the visibility/inmask filters
+    (ANY over views, point_modeling.py:172-176) OR across shards; the
+    bin_overflow diagnostic sums.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from dss_tpu.training.trainer import apply_update, make_loss_fn
+
+    loss_fn = make_loss_fn(settings, cfg, schedule)
+    n = mesh.shape[axis]
+
+    def local_grad(params, filters, cameras, lights, img, mask_img, it):
+        (total, (parts, new_filters)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, filters, cameras, lights, img, mask_img, it)
+        grads = jax.lax.pmean(grads, axis)
+        total = jax.lax.pmean(total, axis)
+        parts = {
+            k: (
+                jax.lax.psum(v, axis)
+                if k == "bin_overflow"
+                else jax.lax.pmean(v, axis)
+            )
+            for k, v in parts.items()
+        }
+        # visibility/inmask: ANY over the global view batch = OR over shards.
+        new_filters = jax.tree_util.tree_map(
+            lambda m: jax.lax.psum(m.astype(jnp.int32), axis) > 0
+            if m.dtype == jnp.bool_
+            else jax.lax.pmean(m, axis),
+            new_filters,
+        )
+        return grads, total, parts, new_filters
+
+    view_spec = P(axis)
+    rep = P()
+
+    def tree_specs(tree):
+        return jax.tree_util.tree_map(
+            lambda x: view_spec
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % n == 0
+            else rep,
+            tree,
+        )
+
+    @jax.jit
+    def step(state, cameras, lights, img, mask_img):
+        # lights-is-None is static per trace; build matching arg/spec lists.
+        args = [state.params, state.filters, cameras]
+        specs = [rep, rep, tree_specs(cameras)]
+        if lights is not None:
+            args.append(lights)
+            specs.append(tree_specs(lights))
+
+        def local(params, filters, cams, *rest):
+            if lights is not None:
+                lt, img_, mask_, it = rest
+            else:
+                lt, (img_, mask_, it) = None, rest
+            return local_grad(params, filters, cams, lt, img_, mask_, it)
+
+        sharded = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=tuple(specs) + (view_spec, view_spec, rep),
+            out_specs=(rep, rep, rep, rep),
+            check_rep=False,  # pallas custom calls defeat the rep checker
+        )
+        grads, total, parts, new_filters = sharded(
+            *args, img, mask_img, state.step
+        )
+        return apply_update(
+            optimizer, state, grads, total, parts, new_filters
+        )
+
+    return step
+
+
 def render_view_row_sharded(
     points, normals, colors, mask, camera, lights, settings, mesh: Mesh,
     axis: str = "views",

@@ -135,14 +135,15 @@ def create_train_state(
     )
 
 
-def make_train_step(
-    optimizer: optax.GradientTransformation,
+def make_loss_fn(
     settings: RasterSettings,
     cfg: TrainConfig,
     schedule: AnnealSchedule,
 ) -> Callable:
-    """Build the jitted train step: (state, cameras, lights, img, mask_img) →
-    (new_state, metrics dict)."""
+    """The train loss: (params, filters, cameras, lights, img, mask_img, it)
+    → (total, (metric_parts, new_filters)).  Shared by the single-device
+    step (make_train_step) and the shard_map distributed step
+    (parallel.mesh.make_shardmap_train_step)."""
 
     def loss_fn(params, filters, cameras, lights, img, mask_img, it):
         sett = settings.replace(
@@ -215,6 +216,63 @@ def make_train_step(
             parts = {**parts, "loss_dr_normal": ln}
         return total, (parts, new_filters)
 
+    return loss_fn
+
+
+def apply_update(
+    optimizer: optax.GradientTransformation,
+    state: "TrainState",
+    grads,
+    total,
+    parts,
+    new_filters,
+):
+    """NaN-guarded optimizer update (reference check_weights,
+    utils/__init__.py:51-65): a non-finite gradient skips the whole update —
+    params AND optimizer state (otherwise the Adam moments absorb the NaN
+    and every later step is poisoned).  Returns (new_state, metrics)."""
+    finite = jnp.all(
+        jnp.array(
+            [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]
+        )
+    )
+    safe_grads = jax.tree_util.tree_map(
+        lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+    )
+    updates, new_opt = optimizer.update(safe_grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_params = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(finite, new, old), new_params, state.params
+    )
+    new_opt = jax.tree_util.tree_map(
+        lambda new, old: (
+            jnp.where(finite, new, old)
+            if isinstance(new, jnp.ndarray) and new.shape == getattr(old, "shape", None)
+            else new
+        ),
+        new_opt,
+        state.opt_state,
+    )
+    new_state = state.replace(
+        params=new_params,
+        opt_state=new_opt,
+        filters=new_filters,
+        step=state.step + 1,
+    )
+    metrics = {"loss": total, "params_finite": finite, **parts}
+    return new_state, metrics
+
+
+def make_train_step(
+    optimizer: optax.GradientTransformation,
+    settings: RasterSettings,
+    cfg: TrainConfig,
+    schedule: AnnealSchedule,
+) -> Callable:
+    """Build the jitted train step: (state, cameras, lights, img, mask_img) →
+    (new_state, metrics dict)."""
+    loss_fn = make_loss_fn(settings, cfg, schedule)
+
     @jax.jit
     def train_step(state: TrainState, cameras, lights, img, mask_img):
         (total, (parts, new_filters)), grads = jax.value_and_grad(
@@ -228,40 +286,9 @@ def make_train_step(
             mask_img,
             state.step,
         )
-        # NaN guard (reference check_weights, utils/__init__.py:51-65): a
-        # non-finite gradient skips the whole update — params AND optimizer
-        # state (otherwise the Adam moments absorb the NaN and every later
-        # step is poisoned).
-        finite = jnp.all(
-            jnp.array(
-                [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]
-            )
+        return apply_update(
+            optimizer, state, grads, total, parts, new_filters
         )
-        safe_grads = jax.tree_util.tree_map(
-            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
-        )
-        updates, new_opt = optimizer.update(safe_grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_params = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(finite, new, old), new_params, state.params
-        )
-        new_opt = jax.tree_util.tree_map(
-            lambda new, old: (
-                jnp.where(finite, new, old)
-                if isinstance(new, jnp.ndarray) and new.shape == getattr(old, "shape", None)
-                else new
-            ),
-            new_opt,
-            state.opt_state,
-        )
-        new_state = state.replace(
-            params=new_params,
-            opt_state=new_opt,
-            filters=new_filters,
-            step=state.step + 1,
-        )
-        metrics = {"loss": total, "params_finite": finite, **parts}
-        return new_state, metrics
 
     return train_step
 

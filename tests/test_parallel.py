@@ -45,7 +45,13 @@ class TestShardedTraining:
         n_views = 8
         params, cams = _scene(n_views)
         settings = RasterSettings(image_size=16, points_per_pixel=3)
-        optimizer = make_optimizer()
+        # SGD makes the param delta EQUAL the (pmean'd) gradient, so the
+        # comparison tests the distributed gradient math directly — Adam's
+        # step-1 update is sign(grad), which amplifies fp-reassociation on
+        # near-zero gradients into ±lr flips.
+        import optax
+
+        optimizer = optax.sgd(0.1)
         cfg = TrainConfig(lambda_proj=0.01, lambda_repel=0.01)
         schedule = AnnealSchedule()
         step = make_train_step(optimizer, settings, cfg, schedule)
@@ -211,3 +217,71 @@ class TestShardedPallasViews:
         )
         g1 = jax.jit(lambda p: jax.grad(loss)(p, sh_cams))(pts)
         np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+
+
+class TestShardMapTrainStep:
+    def test_shardmap_step_matches_single_device(self, eight_devices):
+        """make_shardmap_train_step (explicit per-shard grads + one psum over
+        ICI) must reproduce the single-device train step: loss, params and
+        filters.  This is the by-construction distributed path — GSPMD
+        sharding of the same step is pinned separately."""
+        import jax
+
+        from dss_tpu.models.point_model import PointModelParams
+        from dss_tpu.parallel.mesh import make_mesh, make_shardmap_train_step
+        from dss_tpu.render.ewa import RasterSettings
+        from dss_tpu.training.trainer import (
+            AnnealSchedule,
+            TrainConfig,
+            create_train_state,
+            make_optimizer,
+            make_train_step,
+        )
+
+        n = 256
+        pts = jnp.asarray(fibonacci_sphere(n, 0.5))
+        normals = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+        params = PointModelParams.create(pts, normals, jnp.full_like(pts, 0.5))
+        r, t = look_at_view_transform(
+            dist=jnp.full((8,), 2.0),
+            elev=jnp.linspace(-30.0, 30.0, 8),
+            azim=jnp.linspace(0.0, 315.0, 8),
+        )
+        cams = FoVPerspectiveCameras.create(r, t, fov=60.0)
+        settings = RasterSettings(image_size=16, points_per_pixel=3)
+        # SGD makes the param delta EQUAL the (pmean'd) gradient, so the
+        # comparison tests the distributed gradient math directly — Adam's
+        # step-1 update is sign(grad), which amplifies fp-reassociation on
+        # near-zero gradients into ±lr flips.
+        import optax
+
+        optimizer = optax.sgd(0.1)
+        cfg = TrainConfig(lambda_proj=0.01, lambda_repel=0.01)
+        schedule = AnnealSchedule()
+        img = jnp.full((8, 16, 16, 3), 0.3)
+        mask_img = jnp.zeros((8, 16, 16)).at[:, 4:12, 4:12].set(1.0)
+
+        state0 = create_train_state(params, optimizer)
+        ref_step = make_train_step(optimizer, settings, cfg, schedule)
+        s_ref, m_ref = ref_step(state0, cams, None, img, mask_img)
+
+        mesh = make_mesh(8)
+        sm_step = make_shardmap_train_step(
+            optimizer, settings, cfg, schedule, mesh
+        )
+        s_sm, m_sm = sm_step(state0, cams, None, img, mask_img)
+
+        # pmean of per-shard means reassociates the f32 reduction — bits
+        # differ at ~1e-5 relative, semantics match.
+        np.testing.assert_allclose(
+            float(m_ref["loss"]), float(m_sm["loss"]), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_ref.params.points),
+            np.asarray(s_sm.params.points),
+            atol=5e-6,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s_ref.filters.visibility),
+            np.asarray(s_sm.filters.visibility),
+        )
