@@ -120,6 +120,23 @@ class TestViewSampler:
         idx = np.concatenate(list(s.epoch()))
         assert set(idx.tolist()) == {3}
 
+    def test_epoch_batches_shape(self):
+        s = ViewSampler(10, 4, seed=0)
+        b = s.epoch_batches()
+        assert b.shape == (2, 4)  # 10 // 4 full batches
+        # non-divisible tail dropped, still a permutation subset
+        assert len(set(b.reshape(-1).tolist())) == 8
+
+    def test_fewer_views_than_batch(self):
+        """Degenerate config must yield ONE with-replacement batch — the old
+        generator yielded zero and training spun whole epochs doing nothing."""
+        s = ViewSampler(3, 8, seed=0)
+        b = s.epoch_batches()
+        assert b.shape == (1, 8)
+        assert set(b.reshape(-1).tolist()) <= {0, 1, 2}
+        # generator view agrees
+        assert sum(1 for _ in s.epoch()) == 1
+
 
 class TestConfig:
     def test_inherit_chain(self, tmp_path):
