@@ -186,6 +186,12 @@ def main(argv=None):
     t_iter = time.time()
     stop = False
     epoch = epoch_it
+    # Host mirror of the on-device step counter: the device step selects its
+    # batch as epoch_idx[state.step % steps], so the host must derive the
+    # SAME phase (one sync here, then lock-step increments) — a loop counter
+    # desynchronizes after a mid-epoch resume and pruning would test
+    # gradients on a different view batch than the one trained (ADVICE r2).
+    device_step = int(state.step)
     for epoch in range(epoch_it, args.epochs):
         if stop:
             break
@@ -198,12 +204,10 @@ def main(argv=None):
             f"{steps_per_epoch} used for the LR schedule"
         )
         epoch_idx_dev = jnp.asarray(epoch_np, jnp.int32)  # ONE upload/epoch
-        for step_in_epoch in range(epoch_np.shape[0]):
+        for _step_in_epoch in range(epoch_np.shape[0]):
             # Host-side copy of the batch the device step selects (used by
-            # pruning); after a mid-epoch resume the device phase
-            # (state.step % steps) can differ from step_in_epoch — both are
-            # valid random batches, only the host/device pairing rotates.
-            batch_idx = epoch_np[step_in_epoch]
+            # pruning): same phase as the device's state.step % steps.
+            batch_idx = epoch_np[device_step % epoch_np.shape[0]]
             if args.profile_dir and it == 10:
                 jax.profiler.start_trace(args.profile_dir)
             state, metrics = train_step_device(
@@ -214,6 +218,7 @@ def main(argv=None):
                 jax.profiler.stop_trace()
                 logger.info("profiler trace written to %s", args.profile_dir)
             it += 1
+            device_step += 1
 
             if it % print_every == 0:
                 dt = (time.time() - t_iter) / print_every

@@ -152,7 +152,13 @@ def create_raster_settings(cfg: dict):
         backend=str(rp.get("backend", "auto")),
         tile_size=int(rp.get("tile_size", 64)),
         bin_capacity=int(rp.get("bin_capacity", 512)),
-        max_tiles_per_splat=int(rp.get("max_tiles_per_splat", 4)),
+        # -1 = auto (4 small clouds / 2 above 20k pts); an explicit yaml value
+        # is respected verbatim so the bin_overflow warning's remedy works on
+        # dense clouds too.
+        max_tiles_per_splat=int(rp.get("max_tiles_per_splat", -1)),
+        pair_cap_scale_fwd=float(rp.get("pair_cap_scale_fwd", -1.0)),
+        pair_cap_scale_bwd=float(rp.get("pair_cap_scale_bwd", -1.0)),
+        mxu_quadric=bool(rp.get("mxu_quadric", False)),
     )
 
 

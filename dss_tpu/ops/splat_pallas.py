@@ -385,6 +385,88 @@ def _channel_matrix(
 # ---------------------------------------------------------------------------
 
 
+def _tile_local_frame(xf, yf, tx, ty, tile_size, image_size, mxu_quadric):
+    """Per-tile setup for the quadric evaluation: tile-center NDC coords
+    (x0, y0), tile-local pixel coords, and the monomial basis
+    u = [x², xy, y², x, y, 1] (TT, 6).  Centering at the tile keeps every
+    coordinate ≲ 0.6·tile width in NDC, so the f32 cancellation in the
+    matmul formulation stays ~1e-5 of q (uncentered, |a|·x²·eps ≈ 4e-4
+    would sit right at the golden tolerance)."""
+    if not mxu_quadric:
+        return None, None, None
+    inv_s = 1.0 / image_size
+    t = tile_size
+    x0 = 1.0 - (2 * tx * t + t).astype(jnp.float32) * inv_s
+    y0 = 1.0 - (2 * ty * t + t).astype(jnp.float32) * inv_s
+    xl = xf - x0  # (TT, 1)
+    yl = yf - y0
+    u = jnp.concatenate(
+        [xl * xl, xl * yl, yl * yl, xl, yl, jnp.ones_like(xl)], axis=1
+    )  # (TT, 6)
+    return x0, y0, u
+
+
+def _chunk_q_accept(
+    px, py, pz, a, b, c, cut, rx, ry, *, xf, yf, frame, mxu_quadric
+):
+    """q (TT, CM) and the acceptance mask for one candidate chunk.
+
+    mxu_quadric=True evaluates q = u · C as ONE MXU matmul per chunk (the
+    3DGS tensor-core formulation) with C built from the conic + the
+    tile-local splat center (per-candidate cost only); the box test becomes
+    interval compares against precomputed bounds.  This moves ~10 VPU
+    ops/element onto the MXU — the fragment kernels run at the VPU roofline,
+    so op-count reduction is the remaining lever (BENCHMARKS.md target #1).
+    Semantics contract unchanged: reference CheckPixelInsidePoint
+    (rasterize_points.cu:64-124) — pz ≥ 0, axis-aligned box, Q ≤ cutoff.
+    """
+    if not mxu_quadric:
+        dx = xf - px  # (TT, CM)
+        dy = yf - py
+        q = a * dx * dx + b * dx * dy + c * dy * dy
+        accept = (
+            (pz >= 0.0)
+            & (jnp.abs(dx) <= rx)
+            & (jnp.abs(dy) <= ry)
+            & (q <= cut)
+        )
+        return q, accept
+    x0, y0, u = frame
+    pxl = px - x0  # (1, CM) tile-local splat centers
+    pyl = py - y0
+    cmat = jnp.concatenate(
+        [
+            a,
+            b,
+            c,
+            -(2.0 * a * pxl + b * pyl),
+            -(b * pxl + 2.0 * c * pyl),
+            a * pxl * pxl + b * pxl * pyl + c * pyl * pyl,
+        ],
+        axis=0,
+    )  # (6, CM)
+    # f32 MXU passes (HIGHEST): bf16 passes would put ~0.4 absolute error on
+    # a q that is compared against cutoff ≈ 1.
+    q = jax.lax.dot_general(
+        u,
+        cmat,
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    xl = u[:, 3:4]
+    yl = u[:, 4:5]
+    accept = (
+        (pz >= 0.0)
+        & (xl >= pxl - rx)
+        & (xl <= pxl + rx)
+        & (yl >= pyl - ry)
+        & (yl <= pyl + ry)
+        & (q <= cut)
+    )
+    return q, accept
+
+
 def _fwd_kernel(
     counts_ref,  # (n_tiles,) SMEM scalar-prefetch: candidates per tile
     data_ref,  # (1, C, M) VMEM
@@ -403,6 +485,7 @@ def _fwd_kernel(
     points_per_pixel: int,
     chunk: int,
     m: int,
+    mxu_quadric: bool = False,
 ):
     t = tile_size
     tt = t * t
@@ -418,6 +501,7 @@ def _fwd_kernel(
     inv_s = 1.0 / image_size
     yf = 1.0 - (2.0 * row.astype(jnp.float32) + 1.0) * inv_s  # (TT, 1)
     xf = 1.0 - (2.0 * col.astype(jnp.float32) + 1.0) * inv_s  # (TT, 1)
+    frame = _tile_local_frame(xf, yf, tx, ty, t, image_size, mxu_quadric)
 
     # dynamic trip count: only sweep chunks that actually hold candidates
     n_cand = jnp.minimum(counts_ref[g], m)
@@ -450,14 +534,9 @@ def _fwd_kernel(
         cb = data_ref[0, _CH_B2, sl]
         idf = data_ref[0, _CH_ID, sl][None, :]
 
-        dx = xf - px  # (TT, CM)
-        dy = yf - py
-        q = a * dx * dx + b * dx * dy + c * dy * dy
-        accept = (
-            (pz >= 0.0)
-            & (jnp.abs(dx) <= rx)
-            & (jnp.abs(dy) <= ry)
-            & (q <= cut)
+        q, accept = _chunk_q_accept(
+            px, py, pz, a, b, c, cut, rx, ry,
+            xf=xf, yf=yf, frame=frame, mxu_quadric=mxu_quadric,
         )
         accf = accept.astype(jnp.float32)
         incl = jnp.dot(accf.astype(jnp.bfloat16), tri,
@@ -538,6 +617,7 @@ def _fwd_kernel_lean(
     chunk: int,
     m: int,
     tiles_per_step: int,
+    mxu_quadric: bool = False,
 ):
     """Training-path variant of _fwd_kernel: no per-fragment z/q/id buffers —
     nothing in the train step reads them (the composite is fused, the feature
@@ -576,11 +656,12 @@ def _fwd_kernel_lean(
         col = tx * t + lin % t
         yf = 1.0 - (2.0 * row.astype(jnp.float32) + 1.0) * inv_s
         xf = 1.0 - (2.0 * col.astype(jnp.float32) + 1.0) * inv_s
+        frame = _tile_local_frame(xf, yf, tx, ty, t, image_size, mxu_quadric)
 
         n_cand = jnp.minimum(counts_ref[vi * n_tiles + g], m)
         n_chunks = (n_cand + chunk - 1) // chunk
 
-        def body(i, carry, gs=gs, xf=xf, yf=yf):
+        def body(i, carry, gs=gs, xf=xf, yf=yf, frame=frame):
             z0, frgb, cnt = carry
             sl = pl.ds(i * chunk, chunk)
             px = data_ref[0, gs, _CH_PX, sl][None, :]
@@ -597,14 +678,9 @@ def _fwd_kernel_lean(
             cg = data_ref[0, gs, _CH_G, sl]
             cb = data_ref[0, gs, _CH_B2, sl]
 
-            dx = xf - px  # (TT, CM)
-            dy = yf - py
-            q = a * dx * dx + b * dx * dy + c * dy * dy
-            accept = (
-                (pz >= 0.0)
-                & (jnp.abs(dx) <= rx)
-                & (jnp.abs(dy) <= ry)
-                & (q <= cut)
+            q, accept = _chunk_q_accept(
+                px, py, pz, a, b, c, cut, rx, ry,
+                xf=xf, yf=yf, frame=frame, mxu_quadric=mxu_quadric,
             )
             accf = accept.astype(jnp.float32)
             incl = jnp.dot(accf.astype(jnp.bfloat16), tri,
@@ -657,6 +733,8 @@ def rasterize_forward_views_lean(
     max_tiles_xy: int = 4,
     scaler=None,  # (V, P)
     features=None,  # (V, P, 3)
+    pair_cap: int | None = None,
+    mxu_quadric: bool = False,
 ):
     """View-batched lean forward: per-view binning (vmapped jnp) + ONE
     pallas call with grid (V, n_tiles/G).  Same per-view math as the
@@ -674,7 +752,7 @@ def rasterize_forward_views_lean(
         lambda pt, el, cu, ra, sc, fe: bin_splats(
             pt, el, cu, ra, s, t, bin_capacity,
             max_tiles_x=max_tiles_xy, max_tiles_y=max_tiles_xy,
-            scaler=sc, features=fe,
+            scaler=sc, features=fe, pair_cap=pair_cap,
         )
     )(pts, ellipse, cutoff, radii, scaler, features)
 
@@ -688,6 +766,7 @@ def rasterize_forward_views_lean(
         chunk=chunk,
         m=bin_capacity,
         tiles_per_step=g_batch,
+        mxu_quadric=mxu_quadric,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -754,6 +833,8 @@ def rasterize_forward_pallas_lean(
     max_tiles_xy: int = 4,
     scaler=None,
     features=None,
+    pair_cap: int | None = None,
+    mxu_quadric: bool = False,
 ):
     """Lean forward, single view: wraps the view-batched kernel with V=1.
     Returns (occ (S,S), visible (P,), rgbw (S,S,4), overflow (), binned)."""
@@ -762,7 +843,8 @@ def rasterize_forward_pallas_lean(
         pts[None], ellipse[None], cutoff[None], radii[None],
         depth_merging_threshold, image_size, points_per_pixel,
         tile_size=tile_size, bin_capacity=bin_capacity, chunk=chunk,
-        max_tiles_xy=max_tiles_xy,
+        max_tiles_xy=max_tiles_xy, pair_cap=pair_cap,
+        mxu_quadric=mxu_quadric,
         scaler=(jnp.zeros((p,), jnp.float32) if scaler is None else scaler)[None],
         features=(jnp.zeros((p, 3), jnp.float32) if features is None
                   else features)[None],
@@ -787,6 +869,8 @@ def rasterize_forward_pallas(
     with_extras: bool = False,
     features: jnp.ndarray | None = None,
     with_binned: bool = False,
+    pair_cap: int | None = None,
+    mxu_quadric: bool = False,
 ):
     """Forward rasterization (one view) via tile binning + Pallas fragment
     kernel.  Returns (idx, zbuf, qvalue, occupancy) with the same semantics as
@@ -805,7 +889,7 @@ def rasterize_forward_pallas(
     binned = bin_splats(
         pts, ellipse, cutoff, radii, s, t, bin_capacity,
         max_tiles_x=max_tiles_xy, max_tiles_y=max_tiles_xy,
-        scaler=scaler, features=features,
+        scaler=scaler, features=features, pair_cap=pair_cap,
     )
 
     kern = functools.partial(
@@ -816,6 +900,7 @@ def rasterize_forward_pallas(
         points_per_pixel=k,
         chunk=chunk,
         m=bin_capacity,
+        mxu_quadric=mxu_quadric,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -921,6 +1006,7 @@ def _feat_bwd_kernel(
     chunk: int,
     m: int,
     tiles_per_step: int,
+    mxu_quadric: bool = False,
 ):
     """Feature gradient of the fused composite: rgb_out[pix,c] = sum_j w_j*c_j
     with w treated as locally constant (reference semantics), so
@@ -959,8 +1045,9 @@ def _feat_bwd_kernel(
         n_chunks = (n_cand + chunk - 1) // chunk
         gf_out[0, gs, :, :] = jnp.zeros((4, m), jnp.float32)
         grad_t = grad_ref[0, gs]  # (TT, 4)
+        frame = _tile_local_frame(xf, yf, tx, ty, t, image_size, mxu_quadric)
 
-        def body(i, carry, gs=gs, xf=xf, yf=yf, grad_t=grad_t):
+        def body(i, carry, gs=gs, xf=xf, yf=yf, grad_t=grad_t, frame=frame):
             z0, cnt = carry
             sl = pl.ds(i * chunk, chunk)
             px = data_ref[0, gs, _CH_PX, sl][None, :]
@@ -974,14 +1061,9 @@ def _feat_bwd_kernel(
             ry = data_ref[0, gs, _CH_RY, sl][None, :]
             sc = data_ref[0, gs, _CH_SC, sl][None, :]
 
-            dx = xf - px
-            dy = yf - py
-            q = a * dx * dx + b * dx * dy + c * dy * dy
-            accept = (
-                (pz >= 0.0)
-                & (jnp.abs(dx) <= rx)
-                & (jnp.abs(dy) <= ry)
-                & (q <= cut)
+            q, accept = _chunk_q_accept(
+                px, py, pz, a, b, c, cut, rx, ry,
+                xf=xf, yf=yf, frame=frame, mxu_quadric=mxu_quadric,
             )
             accf = accept.astype(jnp.float32)
             incl = jnp.dot(accf.astype(jnp.bfloat16), tri,
@@ -1023,6 +1105,7 @@ def feat_backward_views(
     tile_size: int,
     bin_capacity: int,
     chunk: int = 128,
+    mxu_quadric: bool = False,
 ) -> jnp.ndarray:
     """Per-point feature gradient (V, P, 3) from the saved forward tables."""
     s = image_size
@@ -1048,6 +1131,7 @@ def feat_backward_views(
         chunk=chunk,
         m=bin_capacity,
         tiles_per_step=g_batch,
+        mxu_quadric=mxu_quadric,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1103,12 +1187,14 @@ def feat_backward_pallas(
     tile_size: int,
     bin_capacity: int,
     chunk: int = 128,
+    mxu_quadric: bool = False,
 ) -> jnp.ndarray:
     """Single-view wrapper over feat_backward_views."""
     batched = jax.tree_util.tree_map(lambda x: x[None], binned)
     return feat_backward_views(
         batched, grad_rgbw[None], depth_merging_threshold, p,
         image_size, points_per_pixel, tile_size, bin_capacity, chunk,
+        mxu_quadric=mxu_quadric,
     )[0]
 
 
@@ -1208,6 +1294,7 @@ def bin_for_occ_backward(
     tile_size: int,
     bin_capacity: int,
     max_tiles_xy: int,
+    pair_cap: int | None = None,
 ) -> Tuple[BinnedSplats, jnp.ndarray]:
     """Support-binning for the occupancy backward.  Depends only on FORWARD
     quantities (positions, radii, visibility, the annealed scaler) — so the
@@ -1249,6 +1336,7 @@ def bin_for_occ_backward(
         sort_by_depth=False,
         backward_channels=True,  # 5-ch table stores the UNSCALED radii;
         # padding gets pz = −1 so pt_ok rejects it
+        pair_cap=pair_cap,
     )
     return binned, cur_r2
 
@@ -1415,8 +1503,18 @@ def rasterize_points_pallas(
     return out
 
 
+def _tile_cfg8(tile_config):
+    """Normalize a tile_config to 8 entries: (tile, cap, chunk, max_tiles,
+    max_tiles_bwd, pair_cap_fwd, pair_cap_bwd, mxu_quadric); missing trailing
+    entries (the plain 4-tuples used by tests and older callers) default to
+    -1 = auto.  mxu_quadric: >0 = MXU quadric, else the elementwise q
+    (the production default — the quadric measured slower on v5e)."""
+    tc = tuple(tile_config)
+    return tc + (-1,) * (8 - len(tc))
+
+
 def _bwd_tile_budget(tile_config, p=None):
-    t, cap, chunk, mt = tile_config
+    t, cap, chunk, mt, mt_bwd, _pcf, pcb, _mxq = _tile_cfg8(tile_config)
     # Support AABB side = 2·(radius + scaled-median) px: ~70 px at the
     # initial scaler, spanning ≤ 3 tiles of 64 — a 4-tile budget covers it
     # with margin (36-slot budgets doubled the pair-sort cost at 100k pts).
@@ -1431,14 +1529,15 @@ def _bwd_tile_budget(tile_config, p=None):
     # kernel's trip count is dynamic (counts_ref), so extra capacity costs
     # only table build + block DMA.  bin_splats reports any residual
     # overflow.
-    mt_bwd = max(mt, 4) if (p is None or p <= 20000) else min(mt, 2)
-    return t, max(cap, 2048), chunk, mt_bwd
+    if mt_bwd <= 0:  # auto; an explicit value (ADVICE r2) is used verbatim
+        mt_bwd = max(mt, 4) if (p is None or p <= 20000) else min(mt, 2)
+    return t, max(cap, 2048), chunk, mt_bwd, (pcb if pcb > 0 else None)
 
 
 def _rasterize_with_bwd_table(image_size, points_per_pixel, tile_config,
                               pts_screen, ellipse_params, cutoff, radii,
                               dmt, radii_backward_scaler, scaler, features):
-    t, cap, chunk, mt = tile_config
+    t, cap, chunk, mt, _mtb, pcf, _pcb, mxq = _tile_cfg8(tile_config)
     p = pts_screen.shape[0]
     (idx, zbuf, qv, occ, frag_scaler, visible, rgbw, fwd_overflow,
      binned_fwd) = rasterize_forward_pallas(
@@ -1446,14 +1545,15 @@ def _rasterize_with_bwd_table(image_size, points_per_pixel, tile_config,
         dmt, image_size, points_per_pixel,
         tile_size=t, bin_capacity=cap, chunk=chunk, max_tiles_xy=mt,
         scaler=scaler, with_extras=True, features=features, with_binned=True,
+        pair_cap=(pcf if pcf > 0 else None), mxu_quadric=(mxq > 0),
     )
     # The occ-backward candidate table depends only on forward quantities —
     # build it here so (a) its overflow is part of the observable output and
     # (b) the backward pass skips the bin entirely.
-    bt, bcap, _, bmt = _bwd_tile_budget(tile_config, p)
+    bt, bcap, _, bmt, bpc = _bwd_tile_budget(tile_config, p)
     binned_bwd, cur_r2 = bin_for_occ_backward(
         pts_screen, radii, visible, radii_backward_scaler,
-        image_size, bt, bcap, bmt,
+        image_size, bt, bcap, bmt, pair_cap=bpc,
     )
     overflow = (fwd_overflow + binned_bwd.overflow).astype(jnp.int32)
     out = (idx, zbuf, qv, occ, frag_scaler, visible, rgbw, overflow)
@@ -1480,8 +1580,9 @@ def _pallas_bwd(image_size, points_per_pixel, tile_config, residuals, grads):
     (_, grad_zbuf, _grad_q, grad_occ, _grad_sc, _grad_vis, grad_rgbw,
      _grad_of) = grads
     p = pts_screen.shape[0]
-    t, cap, chunk, _mt = tile_config
-    bt, bcap, _, _ = _bwd_tile_budget(tile_config, p)
+    t, cap, chunk = tile_config[:3]
+    mxq = _tile_cfg8(tile_config)[7]
+    bt, bcap, _, _, _ = _bwd_tile_budget(tile_config, p)
 
     grad_xy = occ_backward_from_binned(
         binned_bwd, cur_r2, grad_occ, p,
@@ -1503,7 +1604,7 @@ def _pallas_bwd(image_size, points_per_pixel, tile_config, residuals, grads):
     # 1.3M-fragment formulation (measured ~65 ms/step at 512²×8 views).
     grad_features = feat_backward_pallas(
         binned_fwd, grad_rgbw, dmt, p, image_size, points_per_pixel,
-        tile_size=t, bin_capacity=cap, chunk=chunk,
+        tile_size=t, bin_capacity=cap, chunk=chunk, mxu_quadric=(mxq > 0),
     )
 
     return (
@@ -1557,7 +1658,7 @@ def rasterize_points_pallas_lean(
 def _rasterize_lean_with_tables(image_size, points_per_pixel, tile_config,
                                 pts_screen, ellipse_params, cutoff, radii,
                                 dmt, radii_backward_scaler, scaler, features):
-    t, cap, chunk, mt = tile_config
+    t, cap, chunk, mt, _mtb, pcf, _pcb, mxq = _tile_cfg8(tile_config)
     p = pts_screen.shape[0]
     occ, visible, rgbw, fwd_overflow, binned_fwd = (
         rasterize_forward_pallas_lean(
@@ -1565,12 +1666,13 @@ def _rasterize_lean_with_tables(image_size, points_per_pixel, tile_config,
             dmt, image_size, points_per_pixel,
             tile_size=t, bin_capacity=cap, chunk=chunk, max_tiles_xy=mt,
             scaler=scaler, features=features,
+            pair_cap=(pcf if pcf > 0 else None), mxu_quadric=(mxq > 0),
         )
     )
-    bt, bcap, _, bmt = _bwd_tile_budget(tile_config, p)
+    bt, bcap, _, bmt, bpc = _bwd_tile_budget(tile_config, p)
     binned_bwd, cur_r2 = bin_for_occ_backward(
         pts_screen, radii, visible, radii_backward_scaler,
-        image_size, bt, bcap, bmt,
+        image_size, bt, bcap, bmt, pair_cap=bpc,
     )
     overflow = (fwd_overflow + binned_bwd.overflow).astype(jnp.int32)
     out = (occ, visible, rgbw, overflow)
@@ -1593,8 +1695,9 @@ def _pallas_lean_bwd(image_size, points_per_pixel, tile_config, residuals,
     (pts_screen, binned_fwd, binned_bwd, cur_r2, dmt) = residuals
     (grad_occ, _grad_vis, grad_rgbw, _grad_of) = grads
     p = pts_screen.shape[0]
-    t, cap, chunk, _mt = tile_config
-    bt, bcap, _, _ = _bwd_tile_budget(tile_config, p)
+    t, cap, chunk = tile_config[:3]
+    mxq = _tile_cfg8(tile_config)[7]
+    bt, bcap, _, _, _ = _bwd_tile_budget(tile_config, p)
 
     grad_xy = occ_backward_from_binned(
         binned_bwd, cur_r2, grad_occ, p,
@@ -1605,7 +1708,7 @@ def _pallas_lean_bwd(image_size, points_per_pixel, tile_config, residuals,
     )
     grad_features = feat_backward_pallas(
         binned_fwd, grad_rgbw, dmt, p, image_size, points_per_pixel,
-        tile_size=t, bin_capacity=cap, chunk=chunk,
+        tile_size=t, bin_capacity=cap, chunk=chunk, mxu_quadric=(mxq > 0),
     )
     return (
         grad_pts,
@@ -1661,7 +1764,7 @@ def rasterize_views_pallas_lean(
 def _views_lean_fwd_impl(image_size, points_per_pixel, tile_config,
                          pts_screen, ellipse_params, cutoff, radii,
                          dmt, radii_backward_scaler, scaler, features):
-    t, cap, chunk, mt = tile_config
+    t, cap, chunk, mt, _mtb, pcf, _pcb, mxq = _tile_cfg8(tile_config)
     p = pts_screen.shape[1]
     occ, visible, rgbw, fwd_overflow, binned_fwd = (
         rasterize_forward_views_lean(
@@ -1669,14 +1772,15 @@ def _views_lean_fwd_impl(image_size, points_per_pixel, tile_config,
             dmt, image_size, points_per_pixel,
             tile_size=t, bin_capacity=cap, chunk=chunk, max_tiles_xy=mt,
             scaler=scaler, features=features,
+            pair_cap=(pcf if pcf > 0 else None), mxu_quadric=(mxq > 0),
         )
     )
-    bt, bcap, _, bmt = _bwd_tile_budget(tile_config, p)
+    bt, bcap, _, bmt, bpc = _bwd_tile_budget(tile_config, p)
 
     def bin_bwd_one(pts_v, radii_v, vis_v):
         return bin_for_occ_backward(
             pts_v, radii_v, vis_v, radii_backward_scaler,
-            image_size, bt, bcap, bmt,
+            image_size, bt, bcap, bmt, pair_cap=bpc,
         )
 
     binned_bwd, cur_r2 = jax.vmap(bin_bwd_one)(pts_screen, radii, visible)
@@ -1701,8 +1805,9 @@ def _views_lean_bwd(image_size, points_per_pixel, tile_config, residuals,
     (pts_screen, binned_fwd, binned_bwd, cur_r2, dmt) = residuals
     (grad_occ, _grad_vis, grad_rgbw, _grad_of) = grads
     v, p = pts_screen.shape[:2]
-    t, cap, chunk, _mt = tile_config
-    bt, bcap, _, _ = _bwd_tile_budget(tile_config, p)
+    t, cap, chunk = tile_config[:3]
+    mxq = _tile_cfg8(tile_config)[7]
+    bt, bcap, _, _, _ = _bwd_tile_budget(tile_config, p)
 
     grad_xy = occ_backward_views_from_binned(
         binned_bwd, cur_r2, grad_occ, p, image_size,
@@ -1713,7 +1818,7 @@ def _views_lean_bwd(image_size, points_per_pixel, tile_config, residuals,
     )
     grad_features = feat_backward_views(
         binned_fwd, grad_rgbw, dmt, p, image_size, points_per_pixel,
-        tile_size=t, bin_capacity=cap, chunk=chunk,
+        tile_size=t, bin_capacity=cap, chunk=chunk, mxu_quadric=(mxq > 0),
     )
     return (
         grad_pts,

@@ -103,7 +103,18 @@ def make_shardmap_train_step(
     (ANY over views, point_modeling.py:172-176) OR across shards; the
     bin_overflow diagnostic sums.
     """
-    from jax.experimental.shard_map import shard_map
+    import functools
+
+    try:  # jax >= 0.8: public API; jax.experimental.shard_map is deprecated
+        from jax import shard_map
+
+        # the replication checker was renamed check_rep → check_vma; pallas
+        # custom calls defeat it either way
+        shard_map = functools.partial(shard_map, check_vma=False)
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+        shard_map = functools.partial(shard_map, check_rep=False)
 
     from dss_tpu.training.trainer import apply_update, make_loss_fn
 
@@ -136,22 +147,26 @@ def make_shardmap_train_step(
     view_spec = P(axis)
     rep = P()
 
-    def tree_specs(tree):
+    def tree_specs(tree, n_views):
+        # A leaf is view-sharded iff its leading dim IS the view-batch size
+        # (not merely divisible by the device count — a replicated (n,...)
+        # table would otherwise be silently split, ADVICE r2).
         return jax.tree_util.tree_map(
             lambda x: view_spec
-            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % n == 0
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n_views
             else rep,
             tree,
         )
 
     @jax.jit
     def step(state, cameras, lights, img, mask_img):
+        n_views = img.shape[0]
         # lights-is-None is static per trace; build matching arg/spec lists.
         args = [state.params, state.filters, cameras]
-        specs = [rep, rep, tree_specs(cameras)]
+        specs = [rep, rep, tree_specs(cameras, n_views)]
         if lights is not None:
             args.append(lights)
-            specs.append(tree_specs(lights))
+            specs.append(tree_specs(lights, n_views))
 
         def local(params, filters, cams, *rest):
             if lights is not None:
@@ -165,7 +180,6 @@ def make_shardmap_train_step(
             mesh=mesh,
             in_specs=tuple(specs) + (view_spec, view_spec, rep),
             out_specs=(rep, rep, rep, rep),
-            check_rep=False,  # pallas custom calls defeat the rep checker
         )
         grads, total, parts, new_filters = sharded(
             *args, img, mask_img, state.step

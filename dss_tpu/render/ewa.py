@@ -76,7 +76,27 @@ class RasterSettings:
     tile_size: int = struct.field(pytree_node=False, default=64)
     bin_capacity: int = struct.field(pytree_node=False, default=512)
     bin_chunk: int = struct.field(pytree_node=False, default=128)
-    max_tiles_per_splat: int = struct.field(pytree_node=False, default=4)
+    # Max tiles a splat may span per axis.  -1 = auto (4 for small clouds, 2
+    # above 20k points where radii shrink with spacing); an explicit value is
+    # respected verbatim in BOTH the forward and occ-backward binning — the
+    # overflow warning's remedy must be actionable for dense clouds too.
+    max_tiles_per_splat: int = struct.field(pytree_node=False, default=-1)
+    # Live-pair caps per splat for the candidate-table sorts (forward /
+    # occ-backward).  -1 = auto (fwd 4/2, bwd 10/5 by cloud size); raise when
+    # bin_overflow reports truncated pairs (big splats on dense clouds, e.g.
+    # early anneal with radii_backward_scaler=10).
+    pair_cap_scale_fwd: float = struct.field(pytree_node=False, default=-1.0)
+    pair_cap_scale_bwd: float = struct.field(pytree_node=False, default=-1.0)
+    # Evaluate the conic q = [x², xy, y², x, y, 1]·coeffs as ONE MXU matmul
+    # per candidate chunk (3DGS tensor-core formulation) in tile-local
+    # coordinates, instead of ~10 VPU ops/elem.  Exact to ~1e-5 of q (f32
+    # matmul at HIGHEST precision + tile-centered coords kill the
+    # cancellation).  MEASURED NEGATIVE on v5e (scripts/bench_quadric.py:
+    # +2 ms on both the lean-forward and feature-backward kernels at the
+    # bench shape, independent of matmul precision — the K=6 matmul's layout
+    # overhead exceeds the VPU op savings).  Kept for parity experiments and
+    # other hardware; default off.
+    mxu_quadric: bool = struct.field(pytree_node=False, default=False)
     # Training-path fast mode (pallas backend only): skip the per-fragment
     # idx/zbuf/qvalue buffers — nothing in the train step reads them, and the
     # lean kernel drops the K-slot accumulation.  Set False when fragment
@@ -149,8 +169,19 @@ def compute_vrk_h_global(
     if mask is None:
         mask = jnp.ones((p,), bool)
     if p > _VRK_GLOBAL_EXACT_MAX:
-        stride = p // _VRK_GLOBAL_SAMPLES
-        qi = jnp.arange(_VRK_GLOBAL_SAMPLES, dtype=jnp.int32) * stride
+        # Stride over the ACTIVE points, not raw indices: under a heavily
+        # pruned activation mask a blind stride could land mostly on dead
+        # points and starve the mean (ADVICE r2).  Stable argsort puts active
+        # indices first in original order; positions stride over n_active
+        # (duplicated queries when n_active < S — harmless for a mean).
+        order = jnp.argsort(jnp.logical_not(mask), stable=True)
+        n_active = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
+        pos = (
+            jnp.arange(_VRK_GLOBAL_SAMPLES, dtype=jnp.int32)
+            * n_active
+            // _VRK_GLOBAL_SAMPLES
+        )
+        qi = order[pos]
         sq, _ = knn_points(points[qi], points, mask[qi], mask, k=7)
         qmask = mask[qi]
     else:

@@ -30,7 +30,8 @@ from dss_tpu.render.rasterizer import (
 
 
 def _tile_config(p: int, settings: RasterSettings):
-    """(tile_size, bin_capacity, chunk, max_tiles) for the pallas backend.
+    """(tile_size, bin_capacity, chunk, max_tiles, max_tiles_bwd,
+    pair_cap_fwd, pair_cap_bwd) for the pallas backend (-1 entries = auto).
 
     - Capacity guard: with few tiles (small images) every splat can land in
       every tile, so capacity caps at the padded point count (the reference
@@ -41,6 +42,12 @@ def _tile_config(p: int, settings: RasterSettings):
       (measured 2.5k dropped/view on yoga6 at cap 512) — generous capacity,
       up to 2048 (or P).  The compact layout ignores capacity entirely (it
       has no cap).
+    - Dense clouds (auto): splat radii shrink with point spacing (1-2 px at
+      100k), so a 2×2 tile budget suffices and the P·rep pair arrays (which
+      feed every binning sort) shrink 4×.  Span overflow is reported — and
+      the train CLI warns — if a scene violates the smaller budget; an
+      EXPLICIT settings.max_tiles_per_splat overrides the clamp (ADVICE r2)
+      for forward and backward alike.
     """
     p_cap = -(-p // settings.bin_chunk) * settings.bin_chunk
     tile_size = min(settings.tile_size, settings.image_size)
@@ -49,20 +56,30 @@ def _tile_config(p: int, settings: RasterSettings):
         p_cap,
         max(settings.bin_capacity, 2048, 4 * p_cap // max(n_tiles, 1)),
     )
-    # Dense clouds: splat radii shrink with point spacing (1-2 px at 100k),
-    # so a 2×2 tile budget suffices and the P·rep pair arrays (which feed
-    # every binning sort) shrink 4×.  Span overflow is reported — and the
-    # train CLI warns — if a scene violates the smaller budget.
-    max_tiles = (
-        settings.max_tiles_per_splat
-        if p <= 20000
-        else min(settings.max_tiles_per_splat, 2)
+    if settings.max_tiles_per_splat > 0:
+        max_tiles = max_tiles_bwd = settings.max_tiles_per_splat
+    else:
+        max_tiles = 4 if p <= 20000 else 2
+        max_tiles_bwd = -1  # auto in _bwd_tile_budget
+    pair_cap_fwd = (
+        int(settings.pair_cap_scale_fwd * p)
+        if settings.pair_cap_scale_fwd > 0
+        else -1
+    )
+    pair_cap_bwd = (
+        int(settings.pair_cap_scale_bwd * p)
+        if settings.pair_cap_scale_bwd > 0
+        else -1
     )
     return (
         tile_size,
         bin_capacity,
         settings.bin_chunk,
         max_tiles,
+        max_tiles_bwd,
+        pair_cap_fwd,
+        pair_cap_bwd,
+        1 if settings.mxu_quadric else 0,
     )
 
 

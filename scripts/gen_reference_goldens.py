@@ -46,6 +46,8 @@ WRAPPER = r"""
 
 PYBIND11_MODULE(TORCH_EXTENSION_NAME, m) {
   m.def("naive_fwd", &RasterizePointsNaiveCpu);
+  m.def("coarse_fwd", &RasterizePointsCoarseCpu);
+  m.def("fine_fwd", &RasterizePointsFineCpu);
   m.def("occ_backward", &RasterizePointsOccBackwardCpu);
   m.def("zbuf_backward", &RasterizeZbufBackwardCpu);
 }

@@ -206,6 +206,34 @@ class TestForwardParity:
             atol=1e-4,
         )
 
+    def test_mxu_quadric_matches_elementwise(self):
+        """The MXU-quadric conic evaluation (RasterSettings.mxu_quadric — a
+        measured perf negative on v5e, kept behind the flag) must reproduce
+        the elementwise path: same fragment sets, q within the tile-centered
+        cancellation bound (~1e-5), occupancy identical."""
+        sp, st = make_splats(n=400, image_size=64)
+        dmt = jnp.float32(0.05)
+        base = rasterize_forward_pallas(
+            sp.pts_screen, sp.ellipse_params, sp.cutoff, sp.radii,
+            dmt, 64, 5, tile_size=16, bin_capacity=256,
+            chunk=128, max_tiles_xy=4, mxu_quadric=False,
+        )
+        quad = rasterize_forward_pallas(
+            sp.pts_screen, sp.ellipse_params, sp.cutoff, sp.radii,
+            dmt, 64, 5, tile_size=16, bin_capacity=256,
+            chunk=128, max_tiles_xy=4, mxu_quadric=True,
+        )
+        np.testing.assert_array_equal(np.asarray(quad[3]), np.asarray(base[3]))
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(quad[0]), axis=-1),
+            np.sort(np.asarray(base[0]), axis=-1),
+        )
+        np.testing.assert_allclose(
+            np.sort(np.asarray(quad[2]), axis=-1),
+            np.sort(np.asarray(base[2]), axis=-1),
+            atol=2e-4,
+        )
+
     def test_depth_merge_parity(self):
         # Two stacked splats beyond the merge window.
         pts = jnp.array(
