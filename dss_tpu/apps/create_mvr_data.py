@@ -4,8 +4,11 @@ Reference: scripts/create_mvr_data_from_mesh.py (74-255) — load mesh,
 normalize to unit sphere, random look-at cameras (dist 1.2-2.2, znear 0.1),
 tri-color RGB light rig (common.py:47-89) or random single light per view
 (common.py:91-121), flat-shaded mesh render per view; writes per-view
-rgb/mask pngs, data_dict.npz (camera_mat, lights_%d, GT sampled cloud) and
-cameras.npz.
+rgb/mask pngs, per-view dense depth (depth/%06d.npy — the reference writes
+.exr, create_mvr_data_from_mesh.py:216-240; no EXR codec ships in this
+environment, so the product is float32 .npy with the same semantics:
+view-space depth, background = zfar), data_dict.npz (camera_mat, lights_%d,
+GT sampled cloud) and cameras.npz.
 
 Usage:
   python -m dss_tpu.apps.create_mvr_data --mesh bunny.ply --out data/bunny \
@@ -135,6 +138,7 @@ def main(argv=None):
 
     os.makedirs(os.path.join(args.out, "image"), exist_ok=True)
     os.makedirs(os.path.join(args.out, "mask"), exist_ok=True)
+    os.makedirs(os.path.join(args.out, "depth"), exist_ok=True)
 
     data = {}
     m44 = np.zeros((args.num_cameras, 4, 4), np.float32)
@@ -165,6 +169,8 @@ def main(argv=None):
         st = RasterSettings(
             image_size=args.image_size, points_per_pixel=5,
             cutoff_threshold=1.0, Vrk_isotropic=True, backface_culling=True,
+            # full fragments: the depth product reads the nearest zbuf
+            lean_fragments=False,
         )
         # cache the per-point kernel size once (the reference caches _Vrk_h,
         # rasterizer.py:359-388) — keeps the per-view render program small
@@ -172,17 +178,19 @@ def main(argv=None):
 
         vrk_h = jax.jit(compute_vrk_h_isotropic)(verts_j, cloud_mask)
         jax.block_until_ready(vrk_h)
-        render = jax.jit(
-            lambda v, f, cam, lights: render_single_view(
+        def _render_cloud(v, f, cam, lights):
+            rgba, frags, _ = render_single_view(
                 v, cloud_normals, cloud_colors, cloud_mask, cam, lights, st,
                 vrk_h=vrk_h,
-            )[0]
-        )
+            )
+            return rgba, frags.zbuf[..., 0]
+
+        render = jax.jit(_render_cloud)
         faces_j = verts_j  # unused placeholder
     else:
         render = jax.jit(
             lambda v, f, cam, lights: render_mesh_flat(
-                v, f, cam, lights, args.image_size
+                v, f, cam, lights, args.image_size, return_zbuf=True
             )
         )
         faces_j = jnp.asarray(faces)
@@ -201,7 +209,8 @@ def main(argv=None):
         else:
             lights = DirectionalLights(rig["ambient_color"], rig["diffuse_color"],
                                        rig["specular_color"], rig["direction"])
-        rgba = np.asarray(render(verts_j, faces_j, cam_i, lights))
+        rgba, zbuf = render(verts_j, faces_j, cam_i, lights)
+        rgba, zbuf = np.asarray(rgba), np.asarray(zbuf)
         imageio.imwrite(
             os.path.join(args.out, "image", "%06d.png" % i),
             (np.clip(rgba[..., :3], 0, 1) * 255).astype(np.uint8),
@@ -209,6 +218,13 @@ def main(argv=None):
         imageio.imwrite(
             os.path.join(args.out, "mask", "%06d.png" % i),
             (rgba[..., 3] * 255).astype(np.uint8),
+        )
+        # dense depth, background = zfar (reference writes
+        # torch.where(mask, zbuf, zfar), create_mvr_data_from_mesh.py:216-222)
+        depth = np.where(zbuf > 0.0, zbuf, np.float32(args.zfar))
+        np.save(
+            os.path.join(args.out, "depth", "%06d.npy" % i),
+            depth.astype(np.float32),
         )
         data["lights_%d" % i] = {k: v[None] for k, v in rig.items()}
         print("view %d/%d" % (i + 1, args.num_cameras))

@@ -69,6 +69,12 @@ def main(argv=None):
     mlog = MetricsLogger(out_dir)
 
     # Data ------------------------------------------------------------------
+    # Depth supervision needs the dense depth maps AND zbuf-carrying
+    # fragments — wire both from the single lambda_dr_depth knob.
+    use_depth = float(cfg["training"].get("lambda_dr_depth", 0.0)) > 0
+    if use_depth:
+        cfg["data"]["load_dense_depth"] = True
+        cfg["renderer"]["raster_params"]["lean_fragments"] = False
     dataset = config_mod.create_dataset(cfg)
     logger.info("dataset: %d views at %s", len(dataset), dataset.resolution)
 
@@ -107,12 +113,13 @@ def main(argv=None):
     # on-device from indices.
     all_img = jnp.asarray(dataset.images)
     all_mask = jnp.asarray(dataset.masks)
+    all_depth = jnp.asarray(dataset.depths) if use_depth else None
     all_cams = dataset.get_cameras(None)
     all_lights = dataset.get_lights(None)
 
     @jax.jit
-    def train_step_device(state, all_img, all_mask, all_cams, all_lights,
-                          epoch_idx):
+    def train_step_device(state, all_img, all_mask, all_depth, all_cams,
+                          all_lights, epoch_idx):
         # The whole epoch's batch indices live on-device; the step selects
         # its batch with the (on-device) step counter.  Uploading one (B,)
         # index array per iteration over the TPU network relay measured
@@ -125,7 +132,9 @@ def main(argv=None):
             if all_lights is None
             else jax.tree_util.tree_map(take, all_lights)
         )
-        return train_step(state, cams, lights, take(all_img), take(all_mask))
+        depth = None if all_depth is None else take(all_depth)
+        return train_step(state, cams, lights, take(all_img), take(all_mask),
+                          depth)
 
     batch_size = int(cfg["training"]["batch_size"])
     # Per-view sampling weights (reference train_mvr.py:148-153 ships the
@@ -211,7 +220,8 @@ def main(argv=None):
             if args.profile_dir and it == 10:
                 jax.profiler.start_trace(args.profile_dir)
             state, metrics = train_step_device(
-                state, all_img, all_mask, all_cams, all_lights, epoch_idx_dev
+                state, all_img, all_mask, all_depth, all_cams, all_lights,
+                epoch_idx_dev,
             )
             if args.profile_dir and it == 15:
                 jax.block_until_ready(metrics["loss"])

@@ -60,6 +60,7 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         "lambda_dr_proj": 0.1,
         "lambda_dr_repel": 0.1,
         "lambda_dr_normal": 0.0,
+        "lambda_dr_depth": 0.0,
         "batch_size": 1,
         "print_every": 10,
         "checkpoint_every": 500,
@@ -159,6 +160,9 @@ def create_raster_settings(cfg: dict):
         pair_cap_scale_fwd=float(rp.get("pair_cap_scale_fwd", -1.0)),
         pair_cap_scale_bwd=float(rp.get("pair_cap_scale_bwd", -1.0)),
         mxu_quadric=bool(rp.get("mxu_quadric", False)),
+        # False → full fragments (zbuf/idx/qvalue buffers): required for
+        # depth supervision (lambda_dr_depth) and debug renders
+        lean_fragments=bool(rp.get("lean_fragments", True)),
     )
 
 
@@ -174,6 +178,9 @@ def create_dataset(cfg: dict):
         data_dict=d.get("data_dict", "data_dict.npz"),
         img_extension=d.get("img_extension", "png"),
         mask_extension=d.get("mask_extension", "png"),
+        depth_folder=d.get("depth_folder", "depth"),
+        depth_extension=d.get("depth_extension", "npy"),
+        load_dense_depth=bool(d.get("load_dense_depth", False)),
         n_imgs=d.get("n_imgs"),
     )
 
@@ -242,6 +249,7 @@ def create_train_config(cfg: dict):
         lambda_proj=float(t.get("lambda_dr_proj", 0.0)),
         lambda_repel=float(t.get("lambda_dr_repel", 0.0)),
         lambda_normal=float(t.get("lambda_dr_normal", 0.0)),
+        lambda_depth=float(t.get("lambda_dr_depth", 0.0)),
         knn_k=int(t.get("knn_k", 12)),
         filter_scale=float(t.get("filter_scale", 2.0)),
         sharpness_sigma=float(t.get("sharpness_sigma", 0.75)),

@@ -50,9 +50,12 @@ class MVRDataset:
         data_dir: str,
         img_folder: str = "image",
         mask_folder: str = "mask",
+        depth_folder: str = "depth",
         data_dict: str = "data_dict.npz",
         img_extension: str = "png",
         mask_extension: str = "png",
+        depth_extension: str = "npy",
+        load_dense_depth: bool = False,
         n_imgs: Optional[int] = None,
         use_native_loader: bool = True,
     ):
@@ -83,6 +86,24 @@ class MVRDataset:
         self.points = np.asarray(dd["points"], np.float32) if "points" in dd else None
         self.normals = np.asarray(dd["normals"], np.float32) if "normals" in dd else None
         self.colors = np.asarray(dd["colors"], np.float32) if "colors" in dd else None
+
+        # Optional dense per-view depth (reference MVRDataset load_dense_depth,
+        # dataset.py:71-82, 205-209; its files are .exr — here the data-gen CLI
+        # writes .npy because no EXR codec ships in this environment, and both
+        # extensions are accepted).
+        self.depths: Optional[np.ndarray] = None
+        if load_dense_depth:
+            depth_files = _sorted_files(
+                os.path.join(data_dir, depth_folder), depth_extension
+            )
+            if len(depth_files) < n:
+                raise ValueError(
+                    "found %d dense depth maps for %d views"
+                    % (len(depth_files), n)
+                )
+            self.depths = np.stack(
+                [self._load_depth(f) for f in depth_files[:n]]
+            ).astype(np.float32)
 
         self.cameras_params = (
             dd["cameras_params"].item() if "cameras_params" in dd else {}
@@ -122,6 +143,16 @@ class MVRDataset:
                 else (m > 0.5).astype(np.float32)
             )
         return images, np.stack(masks)
+
+    @staticmethod
+    def _load_depth(path: str) -> np.ndarray:
+        if path.lower().endswith(".npy"):
+            d = np.load(path)
+        else:
+            d = _load_image(path)
+        if d.ndim == 3:
+            d = d[..., 0]
+        return d.astype(np.float32)
 
     def _load_lights(self, dd, n) -> Optional[Dict[str, np.ndarray]]:
         keys = ["ambient_color", "diffuse_color", "specular_color", "direction", "location"]
@@ -193,6 +224,13 @@ class MVRDataset:
             self.get_cameras(indices),
             self.get_lights(indices),
         )
+
+    def get_depths(self, indices=None) -> Optional[np.ndarray]:
+        """Dense GT depth (B, H, W) for the selected views, or None when the
+        dataset was opened without load_dense_depth."""
+        if self.depths is None:
+            return None
+        return self.depths if indices is None else self.depths[np.asarray(indices)]
 
     def get_pointclouds(self):
         """GT sampled cloud (points, normals, colors) or (None, None, None)."""

@@ -147,13 +147,22 @@ def point_model_forward(
         visibility=jax.lax.stop_gradient(visibility),
         inmask=jax.lax.stop_gradient(inmask),
     )
-    return {
+    out = {
         "img_pred": img_pred,
         "mask_img_pred": mask_pred,
         # total candidates dropped by static binning budgets across views —
         # the pallas backend's "sanitizer" counter; 0 on the exact backend
         "bin_overflow": jax.lax.stop_gradient(jnp.sum(frags.overflow)),
-    }, new_filters
+    }
+    # Nearest-fragment view-space depth (V, S, S), -1 where uncovered — only
+    # materialized on zbuf-carrying paths (lean_fragments=False); gradients
+    # reach point z through _zbuf_backward (reference rasterize_points.cu
+    # z-grad path, 823-885).  The reference serves img.depth
+    # (dataset.py:71-75) but ships no depth loss; dss_tpu's optional
+    # lambda_depth term makes this a trained capability.
+    if frags.zbuf.shape[-1] > 0:
+        out["depth_pred"] = frags.zbuf[..., 0]
+    return out, new_filters
 
 
 def render_model(

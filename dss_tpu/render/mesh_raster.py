@@ -86,9 +86,14 @@ def render_mesh_flat(
     image_size: int,
     base_color: Tuple[float, float, float] = (1.0, 1.0, 1.0),
     shininess: float = 64.0,
+    return_zbuf: bool = False,
 ) -> jnp.ndarray:
     """Flat-shaded RGBA render (HardFlatShader equivalent): one color per
-    face from its centroid/normal under the multi-light model."""
+    face from its centroid/normal under the multi-light model.
+
+    return_zbuf=True additionally returns the view-space depth (S, S), -1
+    where empty — used by the data-gen CLI's dense-depth product (reference
+    create_mvr_data_from_mesh.py:216-240 reads fragments.zbuf)."""
     fid, zbuf, _ = rasterize_mesh(verts, faces, camera, image_size)
     tri = verts[faces]
     centroids = jnp.mean(tri, axis=1)
@@ -115,4 +120,6 @@ def render_mesh_flat(
     rgba = jnp.concatenate(
         [jnp.clip(rgb, 0.0, 1.0), hit[..., None].astype(jnp.float32)], axis=-1
     )
+    if return_zbuf:
+        return rgba, zbuf
     return rgba

@@ -279,3 +279,24 @@ def dr_loss(
     ) * lambda_silhouette
     total = loss_rgb + loss_sil
     return total, {"loss_dr_rgb": loss_rgb, "loss_dr_silhouette": loss_sil}
+
+
+def depth_l1_loss(
+    depth: jnp.ndarray,
+    depth_pred: jnp.ndarray,
+    mask_img: jnp.ndarray,
+) -> jnp.ndarray:
+    """Masked L1 between GT dense depth and the nearest-fragment zbuf.
+
+    depth (V, S, S): view-space GT depth, background = zfar (the data-gen
+    convention, reference create_mvr_data_from_mesh.py:216-240).
+    depth_pred (V, S, S): first-fragment zbuf, -1 where uncovered.
+    Supervision is restricted to pixels covered by BOTH the GT silhouette and
+    a rendered fragment — uncovered pixels carry no depth semantics (their
+    -1/zfar difference is silhouette information, already supervised by the
+    mask loss).  Extension beyond the reference: it serves img.depth
+    (dataset.py:71-75) but ships no depth term; this one drives the z-grad
+    path (rasterize_points.cu:823-885 / rasterizer._zbuf_backward).
+    """
+    valid = (mask_img > 0.5) & (depth_pred > 0.0)
+    return l1_loss(depth, depth_pred, mask=valid)

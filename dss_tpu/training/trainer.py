@@ -77,6 +77,10 @@ class TrainConfig(NamedTuple):
     lambda_silhouette: float = 1.0
     lambda_proj: float = 0.0
     lambda_repel: float = 0.0
+    # Dense-depth L1 (extension: the reference serves img.depth but has no
+    # depth term).  Requires settings.lean_fragments=False so fragments carry
+    # zbuf; exercises the _zbuf_backward z-gradient path in training.
+    lambda_depth: float = 0.0
     # Anchors learned normals to the cloud's PCA normals (the reference only
     # trains normals through shading; see losses.normal_consistency_loss).
     lambda_normal: float = 0.0
@@ -140,12 +144,14 @@ def make_loss_fn(
     cfg: TrainConfig,
     schedule: AnnealSchedule,
 ) -> Callable:
-    """The train loss: (params, filters, cameras, lights, img, mask_img, it)
-    → (total, (metric_parts, new_filters)).  Shared by the single-device
-    step (make_train_step) and the shard_map distributed step
-    (parallel.mesh.make_shardmap_train_step)."""
+    """The train loss: (params, filters, cameras, lights, img, mask_img, it
+    [, depth_img]) → (total, (metric_parts, new_filters)).  Shared by the
+    single-device step (make_train_step) and the shard_map distributed step
+    (parallel.mesh.make_shardmap_train_step).  depth_img (V, S, S) is only
+    consumed when cfg.lambda_depth > 0 (needs lean_fragments=False)."""
 
-    def loss_fn(params, filters, cameras, lights, img, mask_img, it):
+    def loss_fn(params, filters, cameras, lights, img, mask_img, it,
+                depth_img=None):
         sett = settings.replace(
             radii_backward_scaler=schedule.backward_radii(it)
         )
@@ -164,6 +170,20 @@ def make_loss_fn(
         # static budgets dropped candidates — then fragments/gradients were
         # lost and bin_capacity / max_tiles_per_splat must be raised)
         parts = {**parts, "bin_overflow": out["bin_overflow"]}
+        if cfg.lambda_depth > 0:
+            if depth_img is None or "depth_pred" not in out:
+                raise ValueError(
+                    "lambda_depth > 0 needs a depth batch and a zbuf-carrying "
+                    "render path (settings.lean_fragments=False)"
+                )
+            from dss_tpu.training.losses import depth_l1_loss
+
+            ld = (
+                depth_l1_loss(depth_img, out["depth_pred"], mask_img)
+                * cfg.lambda_depth
+            )
+            total = total + ld
+            parts = {**parts, "loss_dr_depth": ld}
         # Regularizers on the source-space cloud (trainer.py:314-330),
         # rebuild_knn=True per step.
         if cfg.lambda_proj > 0 or cfg.lambda_repel > 0:
@@ -274,7 +294,8 @@ def make_train_step(
     loss_fn = make_loss_fn(settings, cfg, schedule)
 
     @jax.jit
-    def train_step(state: TrainState, cameras, lights, img, mask_img):
+    def train_step(state: TrainState, cameras, lights, img, mask_img,
+                   depth_img=None):
         (total, (parts, new_filters)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(
@@ -285,6 +306,7 @@ def make_train_step(
             img,
             mask_img,
             state.step,
+            depth_img,
         )
         return apply_update(
             optimizer, state, grads, total, parts, new_filters

@@ -30,11 +30,15 @@ def tiny_dataset(tmp_path_factory):
         azim=jnp.linspace(0, 270, v),
     )
     cams = FoVPerspectiveCameras.create(r, t, fov=60.0)
-    st = RasterSettings(image_size=16, points_per_pixel=3)
-    rgba, _, _ = render_views(pts, normals, colors, mask, cams, None, st)
+    # full fragments so the fixture can write the dense-depth product the
+    # same way create_mvr_data does (nearest zbuf, background = zfar)
+    st = RasterSettings(image_size=16, points_per_pixel=3, lean_fragments=False)
+    rgba, frags, _ = render_views(pts, normals, colors, mask, cams, None, st)
     rgba = np.asarray(rgba)
+    zbuf0 = np.asarray(frags.zbuf[..., 0])
     os.makedirs(root / "image")
     os.makedirs(root / "mask")
+    os.makedirs(root / "depth")
     for i in range(v):
         imageio.imwrite(
             str(root / "image" / f"{i:03d}.png"),
@@ -43,6 +47,12 @@ def tiny_dataset(tmp_path_factory):
         imageio.imwrite(
             str(root / "mask" / f"{i:03d}.png"),
             (rgba[i, ..., 3] * 255).astype(np.uint8),
+        )
+        np.save(
+            str(root / "depth" / f"{i:03d}.npy"),
+            np.where(zbuf0[i] > 0, zbuf0[i], np.float32(100.0)).astype(
+                np.float32
+            ),
         )
     m44 = np.zeros((v, 4, 4), np.float32)
     m44[:, :3, :3] = np.asarray(r)
@@ -105,6 +115,23 @@ class TestMVRDataset:
         root, _ = tiny_dataset
         pts, normals, colors = MVRDataset(root).get_pointclouds()
         assert pts.shape == (400, 3) and normals.shape == (400, 3)
+
+    def test_dense_depth(self, tiny_dataset):
+        """load_dense_depth serves (V, H, W) f32 depth with zfar background
+        (reference MVRDataset dataset.py:71-82, 205-209)."""
+        root, _ = tiny_dataset
+        assert MVRDataset(root).depths is None  # off by default, as upstream
+        ds = MVRDataset(root, load_dense_depth=True)
+        assert ds.depths is not None
+        assert ds.depths.shape == (4, 16, 16)
+        assert ds.depths.dtype == np.float32
+        d = ds.get_depths([3, 1])
+        assert d.shape == (2, 16, 16)
+        # background is zfar; the object sits well inside the view frustum
+        covered = ds.masks > 0.5
+        assert np.all(ds.depths[~covered] == 100.0)
+        assert np.all(ds.depths[covered] < 100.0)
+        assert np.all(ds.depths[covered] > 0.0)
 
 
 class TestViewSampler:
@@ -193,3 +220,36 @@ class TestDTUDataset:
         dtu = DTUDataset(str(dst))
         mvr = MVRDataset(root)
         np.testing.assert_allclose(dtu.camera_mat, mvr.camera_mat, atol=1e-6)
+
+
+class TestCreateMVRDataCLI:
+    def test_end_to_end_mesh_products(self, tmp_path):
+        """The data-gen CLI writes image/mask/depth + npz products that
+        MVRDataset (with load_dense_depth) round-trips (reference
+        create_mvr_data_from_mesh.py:98-102, 216-240)."""
+        from dss_tpu.apps.create_mvr_data import main as gen_main
+        from dss_tpu.data.io import save_ply
+        from dss_tpu.geometry.shapes import ico_sphere
+
+        verts, faces = ico_sphere(level=2, radius=0.5)
+        mesh_path = str(tmp_path / "sphere.ply")
+        save_ply(mesh_path, verts, faces=faces)
+        out = str(tmp_path / "ds")
+        gen_main([
+            "--mesh", mesh_path, "--out", out, "--num-cameras", "3",
+            "--image-size", "16", "--n-points", "200", "--platform", "cpu",
+        ])
+        ds = MVRDataset(out, load_dense_depth=True, use_native_loader=False)
+        assert len(ds) == 3
+        assert ds.depths.shape == (3, 16, 16)
+        zfar = 100.0
+        covered = ds.masks > 0.5
+        assert covered.any()
+        assert np.all(ds.depths[~covered] == zfar)
+        assert np.all(ds.depths[covered] < zfar)
+        # depth is view-space distance: inside the sampled camera dist range
+        # (1.2-2.2) ± the unit-sphere-normalized mesh radius
+        assert ds.depths[covered].min() > 0.2
+        assert ds.depths[covered].max() < 3.3
+        pts, normals, _ = ds.get_pointclouds()
+        assert pts.shape == (200, 3)

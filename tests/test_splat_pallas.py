@@ -268,7 +268,11 @@ class TestBackwardParity:
             sp.pts_screen, sp.radii, visible, grad_occ, jnp.float32(3.0), 32,
             tile_size=16, bin_capacity=1024, chunk=128, max_tiles_xy=8,
         )
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+        # atol 5e-4: sorted_segment_sum computes segment sums as differences
+        # of f32 prefix sums — a segment whose true sum cancels to 0 can keep
+        # a ±2^-13 residue (1e-6 of the ~1e2 gradient scale) whose sign/size
+        # depends on XLA's cumsum tree shape.
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=5e-4)
 
 
 class TestRendererBackendParity:
