@@ -285,3 +285,25 @@ class TestShardMapTrainStep:
             np.asarray(s_ref.filters.visibility),
             np.asarray(s_sm.filters.visibility),
         )
+
+
+class TestMultiSceneTraining:
+    def test_batched_training_improves(self, capsys):
+        """BASELINE config 5 as a *training* workload: the multi-scene app
+        trains S independent clouds in one vmapped jit program and improves
+        the batched loss (chip-scale run + Msplats/s row: BENCHMARKS.md)."""
+        import json
+
+        from dss_tpu.apps.train_multiscene import main as ms_main
+
+        ms_main([
+            "--scenes", "2", "--points", "300", "--views", "2",
+            "--image-size", "32", "--iters", "10", "--platform", "cpu",
+        ])
+        out = capsys.readouterr().out.strip().splitlines()
+        result = json.loads(out[-1])
+        first_loss = float(out[1].split("loss0=")[1])
+        assert np.isfinite(result["final_loss"])
+        assert result["final_loss"] < first_loss
+        assert len(result["chamfer_per_scene"]) == 2
+        assert all(np.isfinite(c) for c in result["chamfer_per_scene"])
