@@ -61,6 +61,23 @@ def inv2x2(m: jnp.ndarray, eps: float = DENOM_EPS) -> jnp.ndarray:
     return inv / det[..., None, None]
 
 
+def psd_regularized_det2x2(m: jnp.ndarray, lam: float) -> jnp.ndarray:
+    """Determinant of m = A + lam·I where A is PSD in exact arithmetic.
+
+    ad − bc cancels catastrophically when cond(m) approaches 1/eps of the
+    arithmetic that produced the entries — for TPU bf16 matmul passes that is
+    cond ≳ 1e2, and a sign-flipped det makes the EWA conic negative-definite
+    (exp(+q/2) overflow → inf/inf NaN in the composite; the 1024² training
+    NaNs of BENCHMARKS.md round 3).  For PSD A, det(A + λI) ≥ λ·tr(A) + λ²
+    = λ·tr(m) − λ², and the trace is cancellation-free, so that bound is a
+    numerically trustworthy floor.  It only binds when the smaller eigenvalue
+    of A falls below ~λ, where the naive product is pure rounding noise.
+    """
+    return jnp.maximum(
+        det2x2(m), lam * (m[..., 0, 0] + m[..., 1, 1]) - lam * lam
+    )
+
+
 def tangent_frame(normals: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     """Deterministic orthonormal tangent basis Sk (…, 2, 3) for unit normals.
 

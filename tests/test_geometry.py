@@ -15,6 +15,7 @@ from dss_tpu.utils.mathutil import (
     eps_denom,
     inv2x2,
     det2x2,
+    psd_regularized_det2x2,
     tangent_frame,
     to_homogen,
 )
@@ -24,6 +25,24 @@ def test_eps_denom_sign_preserving():
     x = jnp.array([-1e-20, 0.0, 1e-20, -2.0, 3.0])
     out = eps_denom(x)
     np.testing.assert_allclose(out, [-1e-17, 1e-17, 1e-17, -2.0, 3.0], rtol=1e-6)
+
+
+def test_psd_regularized_det2x2():
+    """The EWA det floor (the 1024² NaN fix): entries of A + λI that were
+    rounded non-PSD (TPU bf16 matmul passes do exactly this for edge-on
+    splats) must still yield a positive det, while well-conditioned
+    matrices are bitwise unchanged."""
+    lam = 1e-6
+    # b rounded up by one f32 ulp past a·d: naive det = −2.4e-7 < 0.
+    bad = jnp.array([[1.0, 1.0000001], [1.0000001, 1.0]], jnp.float32)
+    naive = float(det2x2(bad))
+    assert naive < 0.0
+    floored = float(psd_regularized_det2x2(bad, lam))
+    assert floored > 0.0
+    np.testing.assert_allclose(floored, lam * 2.0 - lam * lam, rtol=1e-6)
+    # Benign matrix: floor must not bind.
+    good = jnp.array([[2.0, 0.5], [0.5, 1.0]], jnp.float32)
+    assert float(psd_regularized_det2x2(good, lam)) == float(det2x2(good))
 
 
 def test_inv2x2_matches_linalg():

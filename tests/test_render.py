@@ -442,3 +442,41 @@ def test_no_nan_gradient_with_point_at_camera_plane(sphere_scene):
     g = jax.grad(loss)(pts)
     assert bool(jnp.all(jnp.isfinite(g))), "NaN/inf gradient leaked from culled points"
     np.testing.assert_allclose(np.asarray(g[:2]), 0.0)  # culled → no gradient
+
+
+def test_grazing_splats_conic_positive_definite():
+    """Edge-on splats at 1024² (anti-aliasing λ 4× smaller than at 512²)
+    drive cond(GV) to where the naive determinant is cancellation noise; a
+    sign flip makes exp(+q/2) overflow and the composite emit inf/inf NaNs
+    (the 1024² training NaN of BENCHMARKS.md round 3, 27/128 views).  With
+    the PSD det floor + HIGHEST-precision EWA einsums the conic must be
+    positive definite and every per-splat quantity finite, for any vrk_h."""
+    rng = np.random.default_rng(0)
+    p = 256
+    pts = jnp.asarray(rng.normal(0.0, 0.3, (p, 3)).astype(np.float32))
+    r, t = look_at_view_transform(
+        dist=jnp.asarray([2.0]), elev=jnp.asarray([0.0]), azim=jnp.asarray([0.0])
+    )
+    cam = FoVPerspectiveCameras.create(r, t, fov=60.0)
+    # normals perpendicular to the view axis → splats seen edge-on
+    view_dir = np.asarray(cam.R)[0][:, 2]
+    tang = np.cross(view_dir, [0.0, 1.0, 1e-3])
+    tang /= np.linalg.norm(tang)
+    normals = np.tile(tang.astype(np.float32), (p, 1))
+    normals += rng.normal(0.0, 1e-3, (p, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    st = RasterSettings(
+        image_size=1024, points_per_pixel=5, Vrk_invariant=True,
+        backface_culling=False,
+    )
+    for vrk_h in (1e-4, 1.0, 1e2):
+        sp = prepare_splats(
+            pts, jnp.asarray(normals), jnp.ones((p,), bool), cam, st,
+            vrk_h=jnp.full((), vrk_h, jnp.float32),
+        )
+        e = np.asarray(sp.ellipse_params, np.float64)
+        a, b, c = e[:, 0], e[:, 1], e[:, 2]
+        eig_min = 0.5 * (a + c - np.sqrt((a - c) ** 2 + b * b))
+        assert (eig_min > 0.0).all(), f"non-PD conic at vrk_h={vrk_h}"
+        for arr in (sp.ellipse_params, sp.radii, sp.scaler):
+            assert bool(jnp.all(jnp.isfinite(arr)))
