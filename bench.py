@@ -57,6 +57,13 @@ def main():
     )
     cams = FoVPerspectiveCameras.create(r, t, fov=60.0)
 
+    # Tiled image I/O (RasterSettings.tiled_io): images move between the
+    # kernels and the loss in the Pallas tile layout, so the forward untile
+    # and backward re-tile transposes vanish.  Exact (bitwise parity test
+    # in tests/test_splat_pallas.py); targets are tiled once outside the
+    # step, exactly as the train CLI tiles its device-resident dataset.
+    # DSS_BENCH_TILED=0 opts back into the untiled layout for A/B runs.
+    tiled = os.environ.get("DSS_BENCH_TILED", "1") == "1"
     settings = RasterSettings(
         image_size=IMAGE_SIZE,
         points_per_pixel=K,
@@ -64,10 +71,16 @@ def main():
         Vrk_invariant=True,
         Vrk_isotropic=False,
         backface_culling=True,
+        tiled_io=tiled,
     )
 
     target_rgb = jnp.zeros((N_VIEWS, IMAGE_SIZE, IMAGE_SIZE, 3))
     target_mask = jnp.zeros((N_VIEWS, IMAGE_SIZE, IMAGE_SIZE))
+    if tiled:
+        from dss_tpu.ops.splat_pallas import tile_images
+
+        target_rgb = tile_images(target_rgb, settings.tile_size)
+        target_mask = tile_images(target_mask, settings.tile_size)
 
     def loss_fn(points, normals, colors):
         from dss_tpu.render.ewa import compute_vrk_h_global
@@ -78,8 +91,12 @@ def main():
         rgba, _, _ = render_views(
             points, normals, colors, mask, cams, None, settings, vrk_h=vrk_h
         )
-        return jnp.mean(jnp.abs(rgba[..., :3] - target_rgb)) + jnp.mean(
-            jnp.abs(rgba[..., 3] - target_mask)
+        if tiled:
+            rgb, alpha = rgba[:, :, :3, :], rgba[:, :, 3, :]
+        else:
+            rgb, alpha = rgba[..., :3], rgba[..., 3]
+        return jnp.mean(jnp.abs(rgb - target_rgb)) + jnp.mean(
+            jnp.abs(alpha - target_mask)
         )
 
     step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2)))

@@ -116,6 +116,19 @@ def main(argv=None):
     all_depth = jnp.asarray(dataset.depths) if use_depth else None
     all_cams = dataset.get_cameras(None)
     all_lights = dataset.get_lights(None)
+    all_mask_plain = None
+    if settings.tiled_io:
+        # Tile the loss targets ONCE at upload (they are constant for the
+        # whole run): after this, images never leave the rasterizer's tile
+        # order on the hot path — the untile/re-tile transposes vanish from
+        # every step.  The untiled mask is kept for the in-mask point
+        # sampling (row/col bilinear lookup).
+        from dss_tpu.ops.splat_pallas import tile_images
+
+        tile = min(settings.tile_size, settings.image_size)
+        all_mask_plain = all_mask
+        all_img = tile_images(all_img, tile)
+        all_mask = tile_images(all_mask, tile)
 
     @jax.jit
     def train_step_device(state, all_img, all_mask, all_depth, all_cams,
@@ -133,8 +146,11 @@ def main(argv=None):
             else jax.tree_util.tree_map(take, all_lights)
         )
         depth = None if all_depth is None else take(all_depth)
+        mask_plain = (
+            None if all_mask_plain is None else jnp.take(all_mask_plain, idx, axis=0)
+        )
         return train_step(state, cams, lights, take(all_img), take(all_mask),
-                          depth)
+                          depth, mask_plain)
 
     batch_size = int(cfg["training"]["batch_size"])
     # Per-view sampling weights (reference train_mvr.py:148-153 ships the
@@ -164,6 +180,14 @@ def main(argv=None):
     val_idx = np.arange(min(batch_size, len(dataset)))
     val_img, val_mask, val_cams, val_lights = dataset.get_batch(val_idx)
     val_img, val_mask = jnp.asarray(val_img), jnp.asarray(val_mask)
+    if settings.tiled_io:
+        # Predictions come back tiled; IoU/PSNR are elementwise sums, so
+        # comparing in tile order is exact — tile the val targets once.
+        from dss_tpu.ops.splat_pallas import tile_images
+
+        _vt = min(settings.tile_size, settings.image_size)
+        val_img = tile_images(val_img, _vt)
+        val_mask = tile_images(val_mask, _vt)
 
     @jax.jit
     def eval_render(params, filters):
@@ -264,7 +288,8 @@ def main(argv=None):
                 # test and compiles much faster
                 _, mask_img, cameras, _ = dataset.get_batch(batch_idx)
                 prune_settings = settings.replace(
-                    image_size=max(64, settings.image_size // 2)
+                    image_size=max(64, settings.image_size // 2),
+                    tiled_io=False,  # the zero-grad test compares vs plain masks
                 )
                 small = jax.image.resize(
                     jnp.asarray(mask_img),

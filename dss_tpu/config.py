@@ -160,6 +160,7 @@ def create_raster_settings(cfg: dict):
         pair_cap_scale_fwd=float(rp.get("pair_cap_scale_fwd", -1.0)),
         pair_cap_scale_bwd=float(rp.get("pair_cap_scale_bwd", -1.0)),
         mxu_quadric=bool(rp.get("mxu_quadric", False)),
+        tiled_io=bool(rp.get("tiled_io", False)),
         # False → full fragments (zbuf/idx/qvalue buffers): required for
         # depth supervision (lambda_dr_depth) and debug renders
         lean_fragments=bool(rp.get("lean_fragments", True)),

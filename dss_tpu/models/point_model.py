@@ -129,8 +129,14 @@ def point_model_forward(
     )
     visibility = jnp.any(visible, axis=0) & active
 
-    img_pred = rgba[..., :3]
-    mask_pred = rgba[..., 3]
+    if settings.tiled_io:
+        # rgba is (V, n_tiles, 4, tt) — channel axis −2 (splat_pallas
+        # tiled layout); predictions stay tiled for the loss.
+        img_pred = rgba[:, :, :3, :]
+        mask_pred = rgba[:, :, 3, :]
+    else:
+        img_pred = rgba[..., :3]
+        mask_pred = rgba[..., 3]
 
     if mask_img is not None:
         p_screen = cameras.transform_points_screen(params.points)  # (V, P, 3)

@@ -748,11 +748,14 @@ def rasterize_forward_views_lean(
     features=None,  # (V, P, 3)
     pair_cap: int | None = None,
     mxu_quadric: bool = False,
+    tiled_out: bool = False,
 ):
     """View-batched lean forward: per-view binning (vmapped jnp) + ONE
     pallas call with grid (V, n_tiles/G).  Same per-view math as the
     single-view path (parity-tested).  Returns (occ (V,S,S), visible (V,P),
-    rgbw (V,S,S,4), overflow (V,), binned)."""
+    rgbw (V,S,S,4), overflow (V,), binned); with tiled_out, occ is
+    (V, n_tiles, tt) and rgbw is (V, n_tiles, 4, tt) in the kernel's native
+    tile order (see tile_images/untile_images)."""
     s = image_size
     t = tile_size
     assert s % t == 0, "image_size must be a multiple of tile_size"
@@ -816,6 +819,20 @@ def rasterize_forward_views_lean(
         jnp.asarray(depth_merging_threshold, jnp.float32).reshape(1, 1),
     )
 
+    ids = binned.tile_ids.reshape(v, -1)
+    seg = jnp.where(ids >= 0, ids, p)
+    vis = jax.vmap(
+        lambda vf, sg: sorted_segment_sum(vf[:, None], sg, p)[:, 0]
+    )(vis_t.reshape(v, -1), seg)
+    visible = vis > 0.0
+    if tiled_out:
+        # Kernel-native tiled layout (V, n_tiles, [ch,] tt): the squeeze is
+        # free and rgb_t passes through untouched — the (nt, t, nt, t)
+        # untile transposes (and the matching re-tile of the cotangents in
+        # the backward) disappear entirely.
+        occ = (cnt_t[:, :, 0, :] > 0).astype(jnp.float32)
+        return occ, visible, rgb_t, binned.overflow, binned
+
     def untile(x, ch):  # (V, n_tiles, ch, tt) -> (V, S, S, ch)
         x = x.reshape(v, nt, nt, ch, t, t)
         x = jnp.transpose(x, (0, 1, 4, 2, 5, 3))
@@ -823,12 +840,6 @@ def rasterize_forward_views_lean(
 
     occ = (untile(cnt_t, 1)[..., 0] > 0).astype(jnp.float32)
     rgbw = untile(rgb_t, 4)
-    ids = binned.tile_ids.reshape(v, -1)
-    seg = jnp.where(ids >= 0, ids, p)
-    vis = jax.vmap(
-        lambda vf, sg: sorted_segment_sum(vf[:, None], sg, p)[:, 0]
-    )(vis_t.reshape(v, -1), seg)
-    visible = vis > 0.0
     return occ, visible, rgbw, binned.overflow, binned
 
 
@@ -1008,7 +1019,7 @@ def rasterize_forward_pallas(
 def _feat_bwd_kernel(
     counts_ref,  # (V·n_tiles,) SMEM scalar-prefetch: candidates per tile
     data_ref,  # (1, G, C, M) VMEM: the forward candidate table (depth-sorted)
-    grad_ref,  # (1, G, TT, 4) VMEM: grad wrt rgbw per tile (ch 3 unused)
+    grad_ref,  # (1, G, TT, 4) VMEM — or (1, G, 4, TT) when grad_ch_first
     dmt_ref,  # (1, 1) SMEM: depth merging threshold
     gf_out,  # (1, G, 4, M): per-candidate sum_pix w*grad_rgb (rows 0..2)
     *,
@@ -1020,6 +1031,7 @@ def _feat_bwd_kernel(
     m: int,
     tiles_per_step: int,
     mxu_quadric: bool = False,
+    grad_ch_first: bool = False,
 ):
     """Feature gradient of the fused composite: rgb_out[pix,c] = sum_j w_j*c_j
     with w treated as locally constant (reference semantics), so
@@ -1057,7 +1069,8 @@ def _feat_bwd_kernel(
         n_cand = jnp.minimum(counts_ref[vi * n_tiles + g], m)
         n_chunks = (n_cand + chunk - 1) // chunk
         gf_out[0, gs, :, :] = jnp.zeros((4, m), jnp.float32)
-        grad_t = grad_ref[0, gs]  # (TT, 4)
+        # (4, TT) either way; the ch-first (tiled_io) block needs no .T
+        grad_t = grad_ref[0, gs] if grad_ch_first else grad_ref[0, gs].T
         frame = _tile_local_frame(xf, yf, tx, ty, t, image_size, mxu_quadric)
 
         def body(i, carry, gs=gs, xf=xf, yf=yf, grad_t=grad_t, frame=frame):
@@ -1094,7 +1107,7 @@ def _feat_bwd_kernel(
             w = jnp.exp(-0.5 * jnp.where(accept, q, 0.0)) * sc * wins
             # (4, TT) @ (TT, CM) on the MXU; rows 0..2 are the rgb grads
             gf_out[0, gs, :, sl] = jnp.dot(
-                grad_t.T, w, preferred_element_type=jnp.float32
+                grad_t, w, preferred_element_type=jnp.float32
             )
             cnt = cnt + jnp.sum(accf, axis=1)
             return z0, cnt
@@ -1110,7 +1123,7 @@ def _feat_bwd_kernel(
 
 def feat_backward_views(
     binned: BinnedSplats,  # view-batched leaves (V, ...)
-    grad_rgbw: jnp.ndarray,  # (V, S, S, 4)
+    grad_rgbw: jnp.ndarray,  # (V, S, S, 4) — or (V, n_tiles, 4, tt) tiled
     depth_merging_threshold,
     p: int,
     image_size: int,
@@ -1119,6 +1132,7 @@ def feat_backward_views(
     bin_capacity: int,
     chunk: int = 128,
     mxu_quadric: bool = False,
+    grad_tiled: bool = False,
 ) -> jnp.ndarray:
     """Per-point feature gradient (V, P, 3) from the saved forward tables."""
     s = image_size
@@ -1128,11 +1142,24 @@ def feat_backward_views(
     tt = t * t
     v = grad_rgbw.shape[0]
 
-    g_tiles = (
-        grad_rgbw.reshape(v, nt, t, nt, t, 4)
-        .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(v, n_tiles, tt, 4)
-    )
+    if grad_tiled:
+        # Cotangent already in the kernel's tile order and channel-first
+        # layout — pass straight through, no re-tile transpose.
+        g_tiles = grad_rgbw
+        g_spec = lambda G: pl.BlockSpec(
+            (1, G, 4, tt), lambda vi, i, counts: (vi, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        g_tiles = (
+            grad_rgbw.reshape(v, nt, t, nt, t, 4)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(v, n_tiles, tt, 4)
+        )
+        g_spec = lambda G: pl.BlockSpec(
+            (1, G, tt, 4), lambda vi, i, counts: (vi, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
 
     g_batch = _tiles_per_step(n_tiles)
     kern = functools.partial(
@@ -1145,6 +1172,7 @@ def feat_backward_views(
         m=bin_capacity,
         tiles_per_step=g_batch,
         mxu_quadric=mxu_quadric,
+        grad_ch_first=grad_tiled,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1155,7 +1183,7 @@ def feat_backward_views(
                 lambda vi, i, counts: (vi, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, g_batch, tt, 4), lambda vi, i, counts: (vi, i, 0, 0), memory_space=pltpu.VMEM),
+            g_spec(g_batch),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -1381,13 +1409,14 @@ def occ_backward_pallas(
 def occ_backward_views_from_binned(
     binned: BinnedSplats,  # view-batched leaves (V, ...)
     cur_r2: jnp.ndarray,  # (V,)
-    grad_occ: jnp.ndarray,  # (V, S, S)
+    grad_occ: jnp.ndarray,  # (V, S, S) — or (V, n_tiles, tt) tiled
     p: int,
     image_size: int,
     tile_size: int,
     bin_capacity: int,
     chunk: int = 128,
     tiles_per_step: int = 1,
+    grad_tiled: bool = False,
 ) -> jnp.ndarray:
     """Occ-backward kernel over prebuilt per-view support tables; returns
     per-view xy gradients (V, P, 2)."""
@@ -1398,11 +1427,15 @@ def occ_backward_views_from_binned(
     tt = t * t
     v = grad_occ.shape[0]
 
-    g_tiles = (
-        grad_occ.reshape(v, nt, t, nt, t)
-        .transpose(0, 1, 3, 2, 4)
-        .reshape(v, n_tiles, tt, 1)
-    )
+    if grad_tiled:
+        # Already in tile order — the trailing unit axis is a free reshape.
+        g_tiles = grad_occ.reshape(v, n_tiles, tt, 1)
+    else:
+        g_tiles = (
+            grad_occ.reshape(v, nt, t, nt, t)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(v, n_tiles, tt, 1)
+        )
 
     g_batch = _tiles_per_step(n_tiles, tiles_per_step)
     kern = functools.partial(
@@ -1517,17 +1550,19 @@ def rasterize_points_pallas(
 
 
 def _tile_cfg8(tile_config):
-    """Normalize a tile_config to 8 entries: (tile, cap, chunk, max_tiles,
-    max_tiles_bwd, pair_cap_fwd, pair_cap_bwd, mxu_quadric); missing trailing
-    entries (the plain 4-tuples used by tests and older callers) default to
-    -1 = auto.  mxu_quadric: >0 = MXU quadric, else the elementwise q
-    (the production default — the quadric measured slower on v5e)."""
+    """Normalize a tile_config to 9 entries: (tile, cap, chunk, max_tiles,
+    max_tiles_bwd, pair_cap_fwd, pair_cap_bwd, mxu_quadric, tiled_io);
+    missing trailing entries (the plain 4-tuples used by tests and older
+    callers) default to -1 = auto.  mxu_quadric: >0 = MXU quadric, else the
+    elementwise q (the production default — the quadric measured slower on
+    v5e).  tiled_io: >0 = the view-batched lean entry exchanges images in
+    the kernels' native tiled layout (see rasterize_views_pallas_lean)."""
     tc = tuple(tile_config)
-    return tc + (-1,) * (8 - len(tc))
+    return tc + (-1,) * (9 - len(tc))
 
 
 def _bwd_tile_budget(tile_config, p=None):
-    t, cap, chunk, mt, mt_bwd, _pcf, pcb, _mxq = _tile_cfg8(tile_config)
+    t, cap, chunk, mt, mt_bwd, _pcf, pcb, _mxq, _tio = _tile_cfg8(tile_config)
     # Support AABB side = 2·(radius + scaled-median) px: ~70 px at the
     # initial scaler, spanning ≤ 3 tiles of 64 — a 4-tile budget covers it
     # with margin (36-slot budgets doubled the pair-sort cost at 100k pts).
@@ -1550,7 +1585,7 @@ def _bwd_tile_budget(tile_config, p=None):
 def _rasterize_with_bwd_table(image_size, points_per_pixel, tile_config,
                               pts_screen, ellipse_params, cutoff, radii,
                               dmt, radii_backward_scaler, scaler, features):
-    t, cap, chunk, mt, _mtb, pcf, _pcb, mxq = _tile_cfg8(tile_config)
+    t, cap, chunk, mt, _mtb, pcf, _pcb, mxq, _tio = _tile_cfg8(tile_config)
     p = pts_screen.shape[0]
     (idx, zbuf, qv, occ, frag_scaler, visible, rgbw, fwd_overflow,
      binned_fwd) = rasterize_forward_pallas(
@@ -1671,7 +1706,7 @@ def rasterize_points_pallas_lean(
 def _rasterize_lean_with_tables(image_size, points_per_pixel, tile_config,
                                 pts_screen, ellipse_params, cutoff, radii,
                                 dmt, radii_backward_scaler, scaler, features):
-    t, cap, chunk, mt, _mtb, pcf, _pcb, mxq = _tile_cfg8(tile_config)
+    t, cap, chunk, mt, _mtb, pcf, _pcb, mxq, _tio = _tile_cfg8(tile_config)
     p = pts_screen.shape[0]
     occ, visible, rgbw, fwd_overflow, binned_fwd = (
         rasterize_forward_pallas_lean(
@@ -1743,6 +1778,42 @@ rasterize_points_pallas_lean.defvjp(_pallas_lean_fwd, _pallas_lean_bwd)
 # ---------------------------------------------------------------------------
 
 
+def tile_images(img: "jnp.ndarray", tile_size: int) -> "jnp.ndarray":
+    """(V, S, S) → (V, n_tiles, tt) or (V, S, S, C) → (V, n_tiles, C, tt):
+    the kernels' native tiled layout (channel-first inside a tile so the
+    minor dimension stays the lane-efficient tt).  Used to pre-tile loss
+    targets ONCE at dataset upload when RasterSettings.tiled_io is on —
+    after that, images never leave tile order on the hot path."""
+    t = tile_size
+    if img.ndim == 3:
+        v, s, _ = img.shape
+        nt = s // t
+        x = img.reshape(v, nt, t, nt, t).transpose(0, 1, 3, 2, 4)
+        return x.reshape(v, nt * nt, t * t)
+    v, s, _, c = img.shape
+    nt = s // t
+    x = img.reshape(v, nt, t, nt, t, c).transpose(0, 1, 3, 5, 2, 4)
+    return x.reshape(v, nt * nt, c, t * t)
+
+
+def untile_images(img_t: "jnp.ndarray", image_size: int) -> "jnp.ndarray":
+    """Inverse of tile_images: (V, n_tiles, tt) → (V, S, S) or
+    (V, n_tiles, C, tt) → (V, S, S, C).  Off the hot path (validation,
+    visualization)."""
+    s = image_size
+    if img_t.ndim == 3:
+        v, n_tiles, tt = img_t.shape
+        nt = int(round(n_tiles ** 0.5))
+        t = s // nt
+        x = img_t.reshape(v, nt, nt, t, t).transpose(0, 1, 3, 2, 4)
+        return x.reshape(v, s, s)
+    v, n_tiles, c, tt = img_t.shape
+    nt = int(round(n_tiles ** 0.5))
+    t = s // nt
+    x = img_t.reshape(v, nt, nt, c, t, t).transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(v, s, s, c)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def rasterize_views_pallas_lean(
     image_size: int,
@@ -1765,7 +1836,12 @@ def rasterize_views_pallas_lean(
     (parity-tested); gradients reach pts_screen (occupancy field) and
     features (fused-composite weights treated locally constant).
 
-    Returns (occ (V,S,S), visible (V,P), rgbw (V,S,S,4), overflow (V,))."""
+    Returns (occ (V,S,S), visible (V,P), rgbw (V,S,S,4), overflow (V,)).
+    With tile_config[8] (tiled_io) > 0, occ/rgbw are returned — and their
+    cotangents consumed — in the kernels' native tiled layout
+    ((V, n_tiles, tt) / (V, n_tiles, 4, tt)): the untile transposes and the
+    backward's re-tile of grad_occ/grad_rgbw disappear entirely (measured
+    ~3 ms/step of pure relayout at the 512²×8-view bench shape)."""
     out, _res = _views_lean_fwd_impl(
         image_size, points_per_pixel, tile_config,
         pts_screen, ellipse_params, cutoff, radii,
@@ -1777,7 +1853,7 @@ def rasterize_views_pallas_lean(
 def _views_lean_fwd_impl(image_size, points_per_pixel, tile_config,
                          pts_screen, ellipse_params, cutoff, radii,
                          dmt, radii_backward_scaler, scaler, features):
-    t, cap, chunk, mt, _mtb, pcf, _pcb, mxq = _tile_cfg8(tile_config)
+    t, cap, chunk, mt, _mtb, pcf, _pcb, mxq, tio = _tile_cfg8(tile_config)
     p = pts_screen.shape[1]
     occ, visible, rgbw, fwd_overflow, binned_fwd = (
         rasterize_forward_views_lean(
@@ -1786,6 +1862,7 @@ def _views_lean_fwd_impl(image_size, points_per_pixel, tile_config,
             tile_size=t, bin_capacity=cap, chunk=chunk, max_tiles_xy=mt,
             scaler=scaler, features=features,
             pair_cap=(pcf if pcf > 0 else None), mxu_quadric=(mxq > 0),
+            tiled_out=(tio > 0),
         )
     )
     bt, bcap, _, bmt, bpc = _bwd_tile_budget(tile_config, p)
@@ -1819,12 +1896,16 @@ def _views_lean_bwd(image_size, points_per_pixel, tile_config, residuals,
     (grad_occ, _grad_vis, grad_rgbw, _grad_of) = grads
     v, p = pts_screen.shape[:2]
     t, cap, chunk = tile_config[:3]
-    mxq = _tile_cfg8(tile_config)[7]
+    mxq, tio = _tile_cfg8(tile_config)[7:9]
     bt, bcap, _, _, _ = _bwd_tile_budget(tile_config, p)
+    # tiled cotangents arrive in forward-tile order; the occ-backward table
+    # uses the same tile size (only capacity/replication budgets differ)
+    assert not (tio > 0) or bt == t
 
     grad_xy = occ_backward_views_from_binned(
         binned_bwd, cur_r2, grad_occ, p, image_size,
         tile_size=bt, bin_capacity=bcap, chunk=chunk,
+        grad_tiled=(tio > 0),
     )
     grad_pts = jnp.concatenate(
         [grad_xy, jnp.zeros((v, p, 1), pts_screen.dtype)], axis=-1
@@ -1832,6 +1913,7 @@ def _views_lean_bwd(image_size, points_per_pixel, tile_config, residuals,
     grad_features = feat_backward_views(
         binned_fwd, grad_rgbw, dmt, p, image_size, points_per_pixel,
         tile_size=t, bin_capacity=cap, chunk=chunk, mxu_quadric=(mxq > 0),
+        grad_tiled=(tio > 0),
     )
     return (
         grad_pts,

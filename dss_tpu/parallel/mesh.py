@@ -121,10 +121,12 @@ def make_shardmap_train_step(
     loss_fn = make_loss_fn(settings, cfg, schedule)
     n = mesh.shape[axis]
 
-    def local_grad(params, filters, cameras, lights, img, mask_img, it):
+    def local_grad(params, filters, cameras, lights, img, mask_img, it,
+                   mask_plain=None):
         (total, (parts, new_filters)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(params, filters, cameras, lights, img, mask_img, it)
+        )(params, filters, cameras, lights, img, mask_img, it, None,
+          mask_plain)
         grads = jax.lax.pmean(grads, axis)
         total = jax.lax.pmean(total, axis)
         parts = {
@@ -159,7 +161,10 @@ def make_shardmap_train_step(
         )
 
     @jax.jit
-    def step(state, cameras, lights, img, mask_img):
+    def step(state, cameras, lights, img, mask_img, mask_plain=None):
+        # With settings.tiled_io, img/mask_img are the PRE-TILED targets
+        # (leading dim still the view batch → same sharding spec) and
+        # mask_plain is the untiled mask for the in-mask sampling.
         n_views = img.shape[0]
         # lights-is-None is static per trace; build matching arg/spec lists.
         args = [state.params, state.filters, cameras]
@@ -167,23 +172,32 @@ def make_shardmap_train_step(
         if lights is not None:
             args.append(lights)
             specs.append(tree_specs(lights, n_views))
+        has_plain = mask_plain is not None
+        tail_args = [img, mask_img, state.step]
+        tail_specs = [view_spec, view_spec, rep]
+        if has_plain:
+            tail_args.append(mask_plain)
+            tail_specs.append(view_spec)
 
         def local(params, filters, cams, *rest):
             if lights is not None:
-                lt, img_, mask_, it = rest
+                lt, *rest = rest
             else:
-                lt, (img_, mask_, it) = None, rest
-            return local_grad(params, filters, cams, lt, img_, mask_, it)
+                lt = None
+            if has_plain:
+                img_, mask_, it, plain_ = rest
+            else:
+                (img_, mask_, it), plain_ = rest, None
+            return local_grad(params, filters, cams, lt, img_, mask_, it,
+                              plain_)
 
         sharded = shard_map(
             local,
             mesh=mesh,
-            in_specs=tuple(specs) + (view_spec, view_spec, rep),
+            in_specs=tuple(specs) + tuple(tail_specs),
             out_specs=(rep, rep, rep, rep),
         )
-        grads, total, parts, new_filters = sharded(
-            *args, img, mask_img, state.step
-        )
+        grads, total, parts, new_filters = sharded(*args, *tail_args)
         return apply_update(
             optimizer, state, grads, total, parts, new_filters
         )

@@ -102,6 +102,14 @@ class RasterSettings:
     # lean kernel drops the K-slot accumulation.  Set False when fragment
     # buffers are needed (depth losses, debugging, parity tests).
     lean_fragments: bool = struct.field(pytree_node=False, default=True)
+    # Exchange images with the rasterizer in the Pallas kernels' native
+    # tiled layout ((V, n_tiles, [C,] tt), see splat_pallas.tile_images):
+    # the forward untile transposes and the backward re-tile of the image
+    # cotangents disappear from the hot path.  The loss must then consume
+    # tiled predictions and pre-tiled targets (training/trainer.py does
+    # this when the flag is on; targets are tiled once at dataset upload).
+    # Requires lean_fragments.
+    tiled_io: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass

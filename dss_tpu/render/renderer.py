@@ -80,6 +80,7 @@ def _tile_config(p: int, settings: RasterSettings):
         pair_cap_fwd,
         pair_cap_bwd,
         1 if settings.mxu_quadric else 0,
+        1 if settings.tiled_io else 0,
     )
 
 
@@ -261,10 +262,22 @@ def render_views(
         )
 
     if lights is None:
-        return jax.vmap(lambda c: one(c, None))(
+        out = jax.vmap(lambda c: one(c, None))(
             jax.tree_util.tree_map(lambda x: x, cameras)
         )
-    return jax.vmap(one)(cameras, lights)
+    else:
+        out = jax.vmap(one)(cameras, lights)
+    if settings.tiled_io:
+        # Non-batched backends (reference spec, fragment pallas path) render
+        # untiled; tile the final rgba so every backend honors the layout
+        # contract (the relayout cost only matters on the lean hot path,
+        # which never takes this branch).
+        from dss_tpu.ops.splat_pallas import tile_images
+
+        rgba, fragments, visible = out
+        tile = min(settings.tile_size, settings.image_size)
+        return tile_images(rgba, tile), fragments, visible
+    return out
 
 
 def _render_views_batched(
@@ -299,7 +312,17 @@ def _render_views_batched(
         settings.depth_merging_threshold, settings.radii_backward_scaler,
         scl, shaded,
     )
-    rgba = _finish_composite(rgbw, occ, normalize_composite)
+    if settings.tiled_io:
+        # Tiled layout: rgbw (V, n_tiles, 4, tt), occ (V, n_tiles, tt);
+        # the composite is elementwise, so it runs in tile order too and
+        # rgba stays tiled ((V, n_tiles, 4, tt), channel axis −2).
+        if normalize_composite:
+            rgb = rgbw[:, :, :3, :] / jnp.maximum(rgbw[:, :, 3:4, :], 1e-10)
+        else:
+            rgb = rgbw[:, :, :3, :]
+        rgba = jnp.concatenate([rgb, occ[:, :, None, :]], axis=2)
+    else:
+        rgba = _finish_composite(rgbw, occ, normalize_composite)
     v = rgba.shape[0]
     empty = jnp.zeros(
         (v, settings.image_size, settings.image_size, 0), jnp.float32

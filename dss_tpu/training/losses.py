@@ -266,13 +266,20 @@ def dr_loss(
     mask_img_pred: jnp.ndarray,
     lambda_rgb: float = 1.0,
     lambda_silhouette: float = 1.0,
+    tiled: bool = False,
 ):
     """Image losses: L1 RGB restricted to gt∧pred silhouette intersection +
     silhouette (0.01·IoU + L1 mask) (trainer.py:332-376).
 
+    Every term is an elementwise mean/sum, so it computes identically in
+    the rasterizer's tiled layout (RasterSettings.tiled_io: img/img_pred
+    (V, n_tiles, 3, tt) channel axis −2, masks (V, n_tiles, tt)) — pass
+    tiled=True so the silhouette mask broadcasts on the right axis.
+
     Returns (total, dict of parts)."""
     inter = (mask_img > 0.5) & (mask_img_pred > 0.5)
-    loss_rgb = l1_loss(img, img_pred, mask=inter[..., None]) * lambda_rgb
+    ch_mask = inter[:, :, None, :] if tiled else inter[..., None]
+    loss_rgb = l1_loss(img, img_pred, mask=ch_mask) * lambda_rgb
     loss_sil = (
         0.01 * iou_loss(mask_img.astype(img.dtype), mask_img_pred)
         + jnp.mean(jnp.abs(mask_img.astype(img.dtype) - mask_img_pred))

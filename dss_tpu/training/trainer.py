@@ -145,18 +145,23 @@ def make_loss_fn(
     schedule: AnnealSchedule,
 ) -> Callable:
     """The train loss: (params, filters, cameras, lights, img, mask_img, it
-    [, depth_img]) → (total, (metric_parts, new_filters)).  Shared by the
-    single-device step (make_train_step) and the shard_map distributed step
-    (parallel.mesh.make_shardmap_train_step).  depth_img (V, S, S) is only
-    consumed when cfg.lambda_depth > 0 (needs lean_fragments=False)."""
+    [, depth_img, mask_plain]) → (total, (metric_parts, new_filters)).
+    Shared by the single-device step (make_train_step) and the shard_map
+    distributed step (parallel.mesh.make_shardmap_train_step).  depth_img
+    (V, S, S) is only consumed when cfg.lambda_depth > 0 (needs
+    lean_fragments=False).  With settings.tiled_io, img/mask_img are the
+    PRE-TILED targets (tile once at dataset upload — tile_images) and
+    mask_plain carries the untiled (V, S, S) mask for the in-mask point
+    sampling (point_model.sample_image_at_ndc needs row/col layout)."""
 
     def loss_fn(params, filters, cameras, lights, img, mask_img, it,
-                depth_img=None):
+                depth_img=None, mask_plain=None):
         sett = settings.replace(
             radii_backward_scaler=schedule.backward_radii(it)
         )
+        sample_mask = mask_plain if settings.tiled_io else mask_img
         out, new_filters = point_model_forward(
-            params, filters, cameras, lights, sett, mask_img=mask_img
+            params, filters, cameras, lights, sett, mask_img=sample_mask
         )
         total, parts = dr_loss(
             img,
@@ -165,12 +170,19 @@ def make_loss_fn(
             out["mask_img_pred"],
             cfg.lambda_rgb,
             cfg.lambda_silhouette,
+            tiled=settings.tiled_io,
         )
         # runtime binning-overflow counter (0 unless the pallas backend's
         # static budgets dropped candidates — then fragments/gradients were
         # lost and bin_capacity / max_tiles_per_splat must be raised)
         parts = {**parts, "bin_overflow": out["bin_overflow"]}
         if cfg.lambda_depth > 0:
+            if settings.tiled_io:
+                raise ValueError(
+                    "lambda_depth > 0 requires the zbuf-carrying fragment "
+                    "path (lean_fragments=False), which renders untiled — "
+                    "disable settings.tiled_io"
+                )
             if depth_img is None or "depth_pred" not in out:
                 raise ValueError(
                     "lambda_depth > 0 needs a depth batch and a zbuf-carrying "
@@ -295,7 +307,7 @@ def make_train_step(
 
     @jax.jit
     def train_step(state: TrainState, cameras, lights, img, mask_img,
-                   depth_img=None):
+                   depth_img=None, mask_plain=None):
         (total, (parts, new_filters)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(
@@ -307,6 +319,7 @@ def make_train_step(
             mask_img,
             state.step,
             depth_img,
+            mask_plain,
         )
         return apply_update(
             optimizer, state, grads, total, parts, new_filters

@@ -286,6 +286,69 @@ class TestShardMapTrainStep:
             np.asarray(s_sm.filters.visibility),
         )
 
+    def test_shardmap_step_tiled_io_matches(self, eight_devices):
+        """The shard_map distributed step under RasterSettings.tiled_io
+        (tiled targets + untiled mask_plain for in-mask sampling) matches
+        the untiled distributed step: tiling is a pure relayout and the
+        mask_plain leaf shards like any view-batched image."""
+        import optax
+
+        from dss_tpu.models.point_model import PointModelParams
+        from dss_tpu.ops.splat_pallas import tile_images
+        from dss_tpu.parallel.mesh import make_mesh, make_shardmap_train_step
+        from dss_tpu.render.ewa import RasterSettings
+        from dss_tpu.training.trainer import (
+            AnnealSchedule,
+            TrainConfig,
+            create_train_state,
+        )
+
+        n = 256
+        pts = jnp.asarray(fibonacci_sphere(n, 0.5))
+        normals = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+        params = PointModelParams.create(pts, normals, jnp.full_like(pts, 0.5))
+        r, t = look_at_view_transform(
+            dist=jnp.full((8,), 2.0),
+            elev=jnp.linspace(-30.0, 30.0, 8),
+            azim=jnp.linspace(0.0, 315.0, 8),
+        )
+        cams = FoVPerspectiveCameras.create(r, t, fov=60.0)
+        base = RasterSettings(
+            image_size=16, points_per_pixel=3, backend="pallas", tile_size=8
+        )
+        optimizer = optax.sgd(0.1)
+        cfg = TrainConfig(lambda_proj=0.01, lambda_repel=0.01)
+        schedule = AnnealSchedule()
+        img = jnp.full((8, 16, 16, 3), 0.3)
+        mask_img = jnp.zeros((8, 16, 16)).at[:, 4:12, 4:12].set(1.0)
+
+        mesh = make_mesh(8)
+        state0 = create_train_state(params, optimizer)
+        ref_step = make_shardmap_train_step(
+            optimizer, base, cfg, schedule, mesh
+        )
+        s_ref, m_ref = ref_step(state0, cams, None, img, mask_img)
+
+        tiled_step = make_shardmap_train_step(
+            optimizer, base.replace(tiled_io=True), cfg, schedule, mesh
+        )
+        s_til, m_til = tiled_step(
+            state0, cams, None,
+            tile_images(img, 8), tile_images(mask_img, 8), mask_img,
+        )
+        np.testing.assert_allclose(
+            float(m_ref["loss"]), float(m_til["loss"]), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_ref.params.points),
+            np.asarray(s_til.params.points),
+            atol=5e-6,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s_ref.filters.inmask),
+            np.asarray(s_til.filters.inmask),
+        )
+
 
 class TestMultiSceneTraining:
     def test_batched_training_improves(self, capsys):

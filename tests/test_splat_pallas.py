@@ -380,6 +380,90 @@ class TestViewBatchedLean:
             np.asarray(gc_ref), np.asarray(gc_pal), rtol=1e-3, atol=1e-4
         )
 
+    def test_tiled_io_bitwise_matches_untiled(self):
+        """RasterSettings.tiled_io exchanges images in the kernels' native
+        tiled layout (the forward untile and the backward re-tile transposes
+        drop off the hot path); it is a pure relayout, so forward images AND
+        gradients must be BITWISE identical to the untiled path after
+        untile_images."""
+        import jax
+
+        from dss_tpu.ops.splat_pallas import tile_images, untile_images
+        from dss_tpu.render.renderer import render_views
+
+        n = 300
+        s = 64
+        pts = jnp.asarray(fibonacci_sphere(n, 0.5))
+        normals = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+        colors = jnp.broadcast_to(jnp.array([0.7, 0.4, 0.3]), pts.shape)
+        mask = jnp.ones((n,), bool)
+        r, t = look_at_view_transform(
+            dist=jnp.full((2,), 2.0),
+            elev=jnp.array([0.0, 25.0]),
+            azim=jnp.array([0.0, 80.0]),
+        )
+        cams = FoVPerspectiveCameras.create(r, t, fov=60.0)
+        base = RasterSettings(
+            image_size=s, points_per_pixel=5, backface_culling=True,
+            backend="pallas", tile_size=32, lean_fragments=True,
+        )
+        rng = np.random.default_rng(3)
+        tgt = jnp.asarray(rng.uniform(0, 1, (2, s, s, 4)).astype(np.float32))
+        tgt_t = tile_images(tgt, 32)
+        assert np.array_equal(np.asarray(untile_images(tgt_t, s)), np.asarray(tgt))
+
+        def run(settings, target):
+            def loss(p, c):
+                rgba, _, vis = render_views(
+                    p, normals, c, mask, cams, None, settings
+                )
+                return jnp.sum(jnp.abs(rgba - target)), (rgba, vis)
+
+            (l, (rgba, vis)), g = jax.value_and_grad(
+                loss, argnums=(0, 1), has_aux=True
+            )(pts, colors)
+            return l, rgba, vis, g
+
+        _, rgba_u, vis_u, (gp_u, gc_u) = run(base, tgt)
+        _, rgba_t, vis_t, (gp_t, gc_t) = run(base.replace(tiled_io=True), tgt_t)
+        np.testing.assert_array_equal(
+            np.asarray(rgba_u), np.asarray(untile_images(rgba_t, s))
+        )
+        np.testing.assert_array_equal(np.asarray(vis_u), np.asarray(vis_t))
+        np.testing.assert_array_equal(np.asarray(gp_u), np.asarray(gp_t))
+        np.testing.assert_array_equal(np.asarray(gc_u), np.asarray(gc_t))
+
+    def test_tiled_io_reference_backend_honors_layout(self):
+        """Non-pallas backends tile the final rgba so the tiled_io layout
+        contract holds for every backend (the loss code never branches)."""
+        from dss_tpu.ops.splat_pallas import untile_images
+        from dss_tpu.render.renderer import render_views
+
+        n = 200
+        s = 32
+        pts = jnp.asarray(fibonacci_sphere(n, 0.5))
+        normals = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+        colors = jnp.broadcast_to(jnp.array([0.7, 0.4, 0.3]), pts.shape)
+        mask = jnp.ones((n,), bool)
+        r, t = look_at_view_transform(
+            dist=jnp.full((2,), 2.0),
+            elev=jnp.array([0.0, 25.0]),
+            azim=jnp.array([0.0, 80.0]),
+        )
+        cams = FoVPerspectiveCameras.create(r, t, fov=60.0)
+        base = RasterSettings(
+            image_size=s, points_per_pixel=5, backend="reference",
+            tile_size=16,
+        )
+        rgba_u, _, _ = render_views(pts, normals, colors, mask, cams, None, base)
+        rgba_t, _, _ = render_views(
+            pts, normals, colors, mask, cams, None, base.replace(tiled_io=True)
+        )
+        assert rgba_t.shape == (2, (s // 16) ** 2, 4, 16 * 16)
+        np.testing.assert_array_equal(
+            np.asarray(rgba_u), np.asarray(untile_images(rgba_t, s))
+        )
+
 
 class TestSortedSegmentSum:
     """sorted_segment_sum replaces scatter-add segment sums on hot paths
