@@ -64,6 +64,9 @@ def main():
     # step, exactly as the train CLI tiles its device-resident dataset.
     # DSS_BENCH_TILED=0 opts back into the untiled layout for A/B runs.
     tiled = os.environ.get("DSS_BENCH_TILED", "1") == "1"
+    # DSS_BENCH_QUADRIC=1 evaluates the conic q as an MXU matmul per chunk
+    # (the 3DGS tensor-core formulation) instead of elementwise VPU ops.
+    quadric = os.environ.get("DSS_BENCH_QUADRIC", "0") == "1"
     settings = RasterSettings(
         image_size=IMAGE_SIZE,
         points_per_pixel=K,
@@ -72,6 +75,7 @@ def main():
         Vrk_isotropic=False,
         backface_culling=True,
         tiled_io=tiled,
+        mxu_quadric=quadric,
     )
 
     target_rgb = jnp.zeros((N_VIEWS, IMAGE_SIZE, IMAGE_SIZE, 3))

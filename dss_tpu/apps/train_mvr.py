@@ -10,6 +10,7 @@ Usage: python train_mvr.py --config configs/dss.yml
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import time
 
@@ -55,6 +56,12 @@ def main(argv=None):
                         help="every N iters deactivate dead points (zero "
                              "silhouette gradient over a view batch; "
                              "reference Model.prune_points)")
+    parser.add_argument("--steps-per-dispatch", type=int, default=-1,
+                        help="run N train steps per device dispatch (one "
+                             "lax.scan program): amortizes the TPU-relay "
+                             "dispatch latency.  -1 = auto (largest divisor "
+                             "of steps_per_epoch <= print_every); 1 = the "
+                             "classic one-dispatch-per-step loop")
     args = parser.parse_args(argv)
 
     from dss_tpu.utils.platform import setup_jax
@@ -130,27 +137,44 @@ def main(argv=None):
         all_img = tile_images(all_img, tile)
         all_mask = tile_images(all_mask, tile)
 
-    @jax.jit
-    def train_step_device(state, all_img, all_mask, all_depth, all_cams,
-                          all_lights, epoch_idx):
-        # The whole epoch's batch indices live on-device; the step selects
+    @functools.partial(jax.jit, static_argnames="k")
+    def train_steps_device(state, all_img, all_mask, all_depth, all_cams,
+                           all_lights, epoch_idx, k: int = 1):
+        # The whole epoch's batch indices live on-device; each step selects
         # its batch with the (on-device) step counter.  Uploading one (B,)
         # index array per iteration over the TPU network relay measured
-        # ~15 ms/step of host gap (62 ms device vs 80 ms wall).
-        idx = epoch_idx[state.step % epoch_idx.shape[0]]
-        take = lambda x: jnp.take(x, idx, axis=0)
-        cams = jax.tree_util.tree_map(take, all_cams)
-        lights = (
-            None
-            if all_lights is None
-            else jax.tree_util.tree_map(take, all_lights)
-        )
-        depth = None if all_depth is None else take(all_depth)
-        mask_plain = (
-            None if all_mask_plain is None else jnp.take(all_mask_plain, idx, axis=0)
-        )
-        return train_step(state, cams, lights, take(all_img), take(all_mask),
-                          depth, mask_plain)
+        # ~15 ms/step of host gap (62 ms device vs 80 ms wall).  k steps run
+        # as ONE lax.scan dispatch (the remaining per-dispatch relay latency
+        # amortizes over k; requires k | steps_per_epoch so a dispatch never
+        # crosses an epoch-permutation boundary).
+        def body(st, _):
+            idx = epoch_idx[st.step % epoch_idx.shape[0]]
+            take = lambda x: jnp.take(x, idx, axis=0)
+            cams = jax.tree_util.tree_map(take, all_cams)
+            lights = (
+                None
+                if all_lights is None
+                else jax.tree_util.tree_map(take, all_lights)
+            )
+            depth = None if all_depth is None else take(all_depth)
+            mask_plain = (
+                None
+                if all_mask_plain is None
+                else jnp.take(all_mask_plain, idx, axis=0)
+            )
+            return train_step(st, cams, lights, take(all_img),
+                              take(all_mask), depth, mask_plain)
+
+        state, ms = jax.lax.scan(body, state, None, length=k)
+        # Report the window's LAST metrics, except the safety signals which
+        # aggregate over the window: a NaN-skip or budget overflow anywhere
+        # in the dispatch must stay visible to the host-side warnings.
+        metrics = jax.tree_util.tree_map(lambda x: x[-1], ms)
+        if "params_finite" in metrics:
+            metrics["params_finite"] = jnp.all(ms["params_finite"])
+        if "bin_overflow" in metrics:
+            metrics["bin_overflow"] = jnp.sum(ms["bin_overflow"])
+        return state, metrics
 
     batch_size = int(cfg["training"]["batch_size"])
     # Per-view sampling weights (reference train_mvr.py:148-153 ships the
@@ -171,6 +195,28 @@ def main(argv=None):
     ckpt_every = int(cfg["training"].get("checkpoint_every", 500))
     validate_every = int(cfg["training"].get("validate_every", 500))
     visualize_every = int(cfg["training"].get("visualize_every", -1))
+    # Multi-step dispatch width: k consecutive steps run as ONE device
+    # program (lax.scan), so the relay's per-dispatch latency is paid once
+    # per k iterations.  k must divide steps_per_epoch (a dispatch never
+    # crosses an epoch re-permutation); auto picks the largest such divisor
+    # that keeps the print cadence responsive.  Periodic host events
+    # (print/eval/checkpoint/prune) fire on CROSSINGS of their period, so
+    # they still run when k doesn't divide the period.
+    k_disp = args.steps_per_dispatch
+    if k_disp <= 0:
+        k_disp = 1
+        for d in range(1, steps_per_epoch + 1):
+            if steps_per_epoch % d == 0 and d <= max(print_every, 1):
+                k_disp = d
+    elif steps_per_epoch % k_disp != 0:
+        raise ValueError(
+            f"--steps-per-dispatch {k_disp} must divide steps_per_epoch "
+            f"{steps_per_epoch}"
+        )
+    if k_disp > 1:
+        logger.info("dispatching %d train steps per device program", k_disp)
+    prof_done = False
+    last_print_it = it
     vis_frames, vis_names = [], []  # cloud snapshots → vis/points_animation
 
     gt_points, gt_normals, _ = dataset.get_pointclouds()
@@ -237,25 +283,31 @@ def main(argv=None):
             f"{steps_per_epoch} used for the LR schedule"
         )
         epoch_idx_dev = jnp.asarray(epoch_np, jnp.int32)  # ONE upload/epoch
-        for _step_in_epoch in range(epoch_np.shape[0]):
-            # Host-side copy of the batch the device step selects (used by
-            # pruning): same phase as the device's state.step % steps.
-            batch_idx = epoch_np[device_step % epoch_np.shape[0]]
-            if args.profile_dir and it == 10:
+        for _disp in range(epoch_np.shape[0] // k_disp):
+            if args.profile_dir and not prof_done and it >= 10:
                 jax.profiler.start_trace(args.profile_dir)
-            state, metrics = train_step_device(
+            state, metrics = train_steps_device(
                 state, all_img, all_mask, all_depth, all_cams, all_lights,
-                epoch_idx_dev,
+                epoch_idx_dev, k=k_disp,
             )
-            if args.profile_dir and it == 15:
+            if args.profile_dir and not prof_done and it >= 10:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
+                prof_done = True
                 logger.info("profiler trace written to %s", args.profile_dir)
-            it += 1
-            device_step += 1
+            prev_it = it
+            it += k_disp
+            device_step += k_disp
+            # Host-side copy of the LAST batch the dispatch trained on (used
+            # by pruning): same phase as the device's state.step % steps.
+            batch_idx = epoch_np[(device_step - 1) % epoch_np.shape[0]]
 
-            if it % print_every == 0:
-                dt = (time.time() - t_iter) / print_every
+            def crossed(period):
+                return period > 0 and (it // period) > (prev_it // period)
+
+            if crossed(print_every):
+                dt = (time.time() - t_iter) / (it - last_print_it)
+                last_print_it = it
                 t_iter = time.time()
                 scalars = {
                     k: float(v) for k, v in metrics.items() if jnp.ndim(v) == 0
@@ -277,7 +329,7 @@ def main(argv=None):
                         int(scalars["bin_overflow"]), it,
                     )
 
-            if args.prune_every > 0 and it % args.prune_every == 0:
+            if crossed(args.prune_every):
                 from dss_tpu.models.point_model import prune_dead_points
 
                 # checkpoint first: the prune gradient is a separate program
@@ -306,12 +358,12 @@ def main(argv=None):
                 logger.info("pruned to %d active points", n_active)
                 mlog.log(it, {"n_active_points": float(n_active)})
 
-            if visualize_every > 0 and it % visualize_every == 0:
+            if crossed(visualize_every):
                 act = np.asarray(state.filters.activation)
                 vis_frames.append(np.asarray(state.params.points)[act])
                 vis_names.append(f"it {it}")
 
-            if validate_every > 0 and it % validate_every == 0:
+            if crossed(validate_every):
                 eval_dict = evaluate(state)
                 if eval_dict:
                     mlog.log(it, {("val/" + k): v for k, v in eval_dict.items()})
@@ -322,7 +374,7 @@ def main(argv=None):
                         ckpt.save("model_best.npz", state, epoch_it=epoch, it=it,
                                   loss_val_best=metric_best)
 
-            if ckpt_every > 0 and it % ckpt_every == 0:
+            if crossed(ckpt_every):
                 ckpt.save(resume_name, state, epoch_it=epoch, it=it,
                           loss_val_best=metric_best)
 

@@ -67,19 +67,31 @@ def main():
         azim=jnp.asarray(np.linspace(0, 315, v)),
     )
     cams = FoVPerspectiveCameras.create(r, t, fov=60.0)
+    tiled = os.environ.get("DSS_BENCH_TILED", "1") == "1"
     settings = RasterSettings(
         image_size=s, points_per_pixel=5, cutoff_threshold=1.0,
         Vrk_invariant=True, Vrk_isotropic=False, backface_culling=True,
+        tiled_io=tiled,
+        mxu_quadric=os.environ.get("DSS_BENCH_QUADRIC", "0") == "1",
     )
     tgt_rgb = jnp.zeros((v, s, s, 3))
     tgt_m = jnp.zeros((v, s, s))
+    if tiled:
+        from dss_tpu.ops.splat_pallas import tile_images
+
+        tgt_rgb = tile_images(tgt_rgb, settings.tile_size)
+        tgt_m = tile_images(tgt_m, settings.tile_size)
 
     def loss_fn(points, normals, colors):
         vh = compute_vrk_h_global(points, mask)
         rgba, _, _ = render_views(points, normals, colors, mask, cams, None,
                                   settings, vrk_h=vh)
-        return jnp.mean(jnp.abs(rgba[..., :3] - tgt_rgb)) + jnp.mean(
-            jnp.abs(rgba[..., 3] - tgt_m)
+        if tiled:
+            rgb, alpha = rgba[:, :, :3, :], rgba[:, :, 3, :]
+        else:
+            rgb, alpha = rgba[..., :3], rgba[..., 3]
+        return jnp.mean(jnp.abs(rgb - tgt_rgb)) + jnp.mean(
+            jnp.abs(alpha - tgt_m)
         )
 
     step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2)))
