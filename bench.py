@@ -67,6 +67,9 @@ def main():
     # DSS_BENCH_QUADRIC=1 evaluates the conic q as an MXU matmul per chunk
     # (the 3DGS tensor-core formulation) instead of elementwise VPU ops.
     quadric = os.environ.get("DSS_BENCH_QUADRIC", "0") == "1"
+    # DSS_BENCH_MMS=1 scatters per-point gradients/visibility via MXU
+    # one-hot matmuls instead of sort+cumsum segment sums.
+    mms = os.environ.get("DSS_BENCH_MMS", "0") == "1"
     settings = RasterSettings(
         image_size=IMAGE_SIZE,
         points_per_pixel=K,
@@ -76,6 +79,7 @@ def main():
         backface_culling=True,
         tiled_io=tiled,
         mxu_quadric=quadric,
+        matmul_scatter=mms,
     )
 
     target_rgb = jnp.zeros((N_VIEWS, IMAGE_SIZE, IMAGE_SIZE, 3))

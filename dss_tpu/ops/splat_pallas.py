@@ -117,6 +117,94 @@ def sorted_segment_sum(
     return exb[1:] - exb[:-1]
 
 
+def _segsum_matmul_kernel(seg_row_ref, seg_col_ref, vals_ref, out_ref, *,
+                          n_hi, c, terms):
+    """Per-chunk scatter-as-matmul: out[lo, (c, hi)] += Σ_r 1[lo(r)]·v·1[hi(r)].
+
+    The segment id splits as id = hi·128 + lo; two one-hot factors turn the
+    scatter into Aᵀ(B ⊙ v) — with A the (128, K) lo one-hot (exact in bf16)
+    on the M side for full MXU row utilization, and the C channels folded
+    into the N dim (C·n_hi columns, ONE dot per bf16 term).  The f32 values
+    ride as `terms` bf16 significand slices (8 bits each; 3 terms ≥ the f32
+    significand), so every MXU pass is a cheap bf16×bf16 with f32
+    accumulation.  The output block is revisited across the chunk grid axis
+    (standard TPU reduction pattern)."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    lo = seg_row_ref[0, 0, :][None, :] % 128  # (1, K)
+    hi = seg_col_ref[0, :, :] // 128  # (K, 1)
+    k = lo.shape[1]
+    at = (
+        jax.lax.broadcasted_iota(jnp.int32, (128, k), 0) == lo
+    ).astype(jnp.bfloat16)
+    bmat = (
+        jax.lax.broadcasted_iota(jnp.int32, (k, n_hi), 1) == hi
+    ).astype(jnp.float32)
+    vals = vals_ref[0]  # (k, c)
+    # (k, c·n_hi) with (c, hi) column order — concat, not reshape: Mosaic
+    # cannot shape-cast (k, c, n_hi) → (k, c·n_hi).
+    bv = jnp.concatenate(
+        [bmat * vals[:, ch][:, None] for ch in range(c)], axis=1
+    )
+    acc = jnp.zeros((128, c * n_hi), jnp.float32)
+    for _ in range(terms):
+        bt = bv.astype(jnp.bfloat16)
+        bv = bv - bt.astype(jnp.float32)
+        acc += jax.lax.dot_general(
+            at, bt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[0] += acc
+
+
+def segment_sum_views_matmul(
+    vals: jnp.ndarray, seg: jnp.ndarray, num_segments: int,
+    chunk: int = 4096, terms: int = 3,
+) -> jnp.ndarray:
+    """Batched segment sum as per-chunk one-hot matmuls on the MXU.
+
+    vals (V, N, C) f32, seg (V, N) int32 in [0, num_segments] (num_segments
+    is the dump bucket, dropped); returns (V, num_segments, C).  Same
+    contract as vmapped sorted_segment_sum; replaces its sort+cumsum with
+    MXU outer-product accumulation — profiling at the bench shape showed 6
+    sorts of the (8, 136k) slot array (~12 ms/step) plus their sentinel
+    concat copies (~7 ms/step) dominating the non-kernel step time."""
+    v, n, c = vals.shape
+    n_hi = -(-(num_segments + 1) // 128)
+    npad = -(-n // chunk) * chunk
+    if npad != n:
+        vals = jnp.pad(vals, ((0, 0), (0, npad - n), (0, 0)))
+        seg = jnp.pad(seg, ((0, 0), (0, npad - n)),
+                      constant_values=num_segments)
+    out = pl.pallas_call(
+        functools.partial(_segsum_matmul_kernel, n_hi=n_hi, c=c, terms=terms),
+        grid=(v, npad // chunk),
+        in_specs=[
+            pl.BlockSpec((1, 1, chunk), lambda vi, i: (vi, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, 1), lambda vi, i: (vi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, c), lambda vi, i: (vi, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 128, c * n_hi),
+                               lambda vi, i: (vi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((v, 128, c * n_hi), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_interpret_mode(),
+    )(seg.reshape(v, 1, npad), seg.reshape(v, npad, 1), vals)
+    # out[v, lo, c·n_hi + ...]: columns are (c, hi); flat id = hi·128 + lo.
+    out = out.reshape(v, 128, c, n_hi).transpose(0, 3, 1, 2)
+    return out.reshape(v, n_hi * 128, c)[:, :num_segments]
+
+
 # ---------------------------------------------------------------------------
 # Binning (pure JAX)
 # ---------------------------------------------------------------------------
@@ -749,6 +837,7 @@ def rasterize_forward_views_lean(
     pair_cap: int | None = None,
     mxu_quadric: bool = False,
     tiled_out: bool = False,
+    matmul_scatter: bool = False,
 ):
     """View-batched lean forward: per-view binning (vmapped jnp) + ONE
     pallas call with grid (V, n_tiles/G).  Same per-view math as the
@@ -821,9 +910,14 @@ def rasterize_forward_views_lean(
 
     ids = binned.tile_ids.reshape(v, -1)
     seg = jnp.where(ids >= 0, ids, p)
-    vis = jax.vmap(
-        lambda vf, sg: sorted_segment_sum(vf[:, None], sg, p)[:, 0]
-    )(vis_t.reshape(v, -1), seg)
+    if matmul_scatter:
+        vis = segment_sum_views_matmul(
+            vis_t.reshape(v, -1, 1), seg, p
+        )[..., 0]
+    else:
+        vis = jax.vmap(
+            lambda vf, sg: sorted_segment_sum(vf[:, None], sg, p)[:, 0]
+        )(vis_t.reshape(v, -1), seg)
     visible = vis > 0.0
     if tiled_out:
         # Kernel-native tiled layout (V, n_tiles, [ch,] tt): the squeeze is
@@ -1133,6 +1227,7 @@ def feat_backward_views(
     chunk: int = 128,
     mxu_quadric: bool = False,
     grad_tiled: bool = False,
+    matmul_scatter: bool = False,
 ) -> jnp.ndarray:
     """Per-point feature gradient (V, P, 3) from the saved forward tables."""
     s = image_size
@@ -1213,6 +1308,8 @@ def feat_backward_views(
     ids = binned.tile_ids.reshape(v, -1)
     seg = jnp.where(ids >= 0, ids, p)
     partials = gf_t[:, :, :3, :].transpose(0, 1, 3, 2).reshape(v, -1, 3)
+    if matmul_scatter:
+        return segment_sum_views_matmul(partials, seg, p)
     return jax.vmap(lambda pa, sg: sorted_segment_sum(pa, sg, p))(
         partials, seg
     )
@@ -1417,6 +1514,7 @@ def occ_backward_views_from_binned(
     chunk: int = 128,
     tiles_per_step: int = 1,
     grad_tiled: bool = False,
+    matmul_scatter: bool = False,
 ) -> jnp.ndarray:
     """Occ-backward kernel over prebuilt per-view support tables; returns
     per-view xy gradients (V, P, 2)."""
@@ -1485,6 +1583,8 @@ def occ_backward_views_from_binned(
     partials = jnp.stack(
         [gx_t.reshape(v, -1), gy_t.reshape(v, -1)], axis=2
     )
+    if matmul_scatter:
+        return segment_sum_views_matmul(partials, seg, p)
     return jax.vmap(lambda pa, sg: sorted_segment_sum(pa, sg, p))(
         partials, seg
     )
@@ -1558,7 +1658,16 @@ def _tile_cfg8(tile_config):
     v5e).  tiled_io: >0 = the view-batched lean entry exchanges images in
     the kernels' native tiled layout (see rasterize_views_pallas_lean)."""
     tc = tuple(tile_config)
-    return tc + (-1,) * (9 - len(tc))
+    return (tc + (-1,) * (10 - len(tc)))[:9]
+
+
+def _cfg_matmul_scatter(tile_config) -> bool:
+    """10th tile_config entry: >0 = per-point gradient/visibility scatters
+    run as MXU one-hot matmuls (segment_sum_views_matmul) instead of
+    sort+cumsum segment sums."""
+    tc = tuple(tile_config)
+    tc = tc + (-1,) * (10 - len(tc))
+    return tc[9] > 0
 
 
 def _bwd_tile_budget(tile_config, p=None):
@@ -1854,6 +1963,7 @@ def _views_lean_fwd_impl(image_size, points_per_pixel, tile_config,
                          pts_screen, ellipse_params, cutoff, radii,
                          dmt, radii_backward_scaler, scaler, features):
     t, cap, chunk, mt, _mtb, pcf, _pcb, mxq, tio = _tile_cfg8(tile_config)
+    mms = _cfg_matmul_scatter(tile_config)
     p = pts_screen.shape[1]
     occ, visible, rgbw, fwd_overflow, binned_fwd = (
         rasterize_forward_views_lean(
@@ -1862,7 +1972,7 @@ def _views_lean_fwd_impl(image_size, points_per_pixel, tile_config,
             tile_size=t, bin_capacity=cap, chunk=chunk, max_tiles_xy=mt,
             scaler=scaler, features=features,
             pair_cap=(pcf if pcf > 0 else None), mxu_quadric=(mxq > 0),
-            tiled_out=(tio > 0),
+            tiled_out=(tio > 0), matmul_scatter=mms,
         )
     )
     bt, bcap, _, bmt, bpc = _bwd_tile_budget(tile_config, p)
@@ -1897,6 +2007,7 @@ def _views_lean_bwd(image_size, points_per_pixel, tile_config, residuals,
     v, p = pts_screen.shape[:2]
     t, cap, chunk = tile_config[:3]
     mxq, tio = _tile_cfg8(tile_config)[7:9]
+    mms = _cfg_matmul_scatter(tile_config)
     bt, bcap, _, _, _ = _bwd_tile_budget(tile_config, p)
     # tiled cotangents arrive in forward-tile order; the occ-backward table
     # uses the same tile size (only capacity/replication budgets differ)
@@ -1905,7 +2016,7 @@ def _views_lean_bwd(image_size, points_per_pixel, tile_config, residuals,
     grad_xy = occ_backward_views_from_binned(
         binned_bwd, cur_r2, grad_occ, p, image_size,
         tile_size=bt, bin_capacity=bcap, chunk=chunk,
-        grad_tiled=(tio > 0),
+        grad_tiled=(tio > 0), matmul_scatter=mms,
     )
     grad_pts = jnp.concatenate(
         [grad_xy, jnp.zeros((v, p, 1), pts_screen.dtype)], axis=-1
@@ -1913,7 +2024,7 @@ def _views_lean_bwd(image_size, points_per_pixel, tile_config, residuals,
     grad_features = feat_backward_views(
         binned_fwd, grad_rgbw, dmt, p, image_size, points_per_pixel,
         tile_size=t, bin_capacity=cap, chunk=chunk, mxu_quadric=(mxq > 0),
-        grad_tiled=(tio > 0),
+        grad_tiled=(tio > 0), matmul_scatter=mms,
     )
     return (
         grad_pts,

@@ -110,6 +110,13 @@ class RasterSettings:
     # this when the flag is on; targets are tiled once at dataset upload).
     # Requires lean_fragments.
     tiled_io: bool = struct.field(pytree_node=False, default=False)
+    # Per-point scatters (visibility reduction, feature/occ gradient
+    # accumulation) as MXU one-hot matmuls (splat_pallas.
+    # segment_sum_views_matmul: id = hi·128+lo, out = Bᵀ(A⊙v) per chunk)
+    # instead of sort+cumsum segment sums.  Profiled at the bench shape the
+    # sort path spends ~19 ms/step in six (8, 136k) sorts + their sentinel
+    # concat copies; the matmul path moves that to the idle MXU.
+    matmul_scatter: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass

@@ -81,6 +81,7 @@ def _tile_config(p: int, settings: RasterSettings):
         pair_cap_bwd,
         1 if settings.mxu_quadric else 0,
         1 if settings.tiled_io else 0,
+        1 if settings.matmul_scatter else 0,
     )
 
 

@@ -518,3 +518,87 @@ class TestSortedSegmentSum:
         np.add.at(want, seg, vals.astype(np.float64))
         scale = np.sqrt(np.mean(want**2))
         assert np.abs(got - want).max() <= 1e-3 * scale
+
+
+class TestMatmulSegmentSum:
+    """segment_sum_views_matmul (RasterSettings.matmul_scatter): the MXU
+    one-hot outer-product scatter must match the sort+cumsum path (it is
+    MORE accurate — direct sums instead of global-cumsum differences)."""
+
+    def test_matches_sorted_segment_sum(self):
+        from dss_tpu.ops.splat_pallas import (
+            segment_sum_views_matmul,
+            sorted_segment_sum,
+        )
+
+        rng = np.random.default_rng(3)
+        v, n, c, p = 3, 9000, 3, 641
+        seg = jnp.asarray(rng.integers(0, p + 1, size=(v, n), dtype=np.int32))
+        vals = jnp.asarray(rng.standard_normal((v, n, c)).astype(np.float32))
+        got = segment_sum_views_matmul(vals, seg, p)
+        want = jax.vmap(lambda va, sg: sorted_segment_sum(va, sg, p))(
+            vals, seg
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4
+        )
+
+    def test_dump_bucket_and_padding(self):
+        """num_segments ids drop; the chunk padding (seg=p, vals=0) must not
+        leak into any real segment — p and p-1 share a 128-block (hi=p//128),
+        the adversarial case for the hi/lo split."""
+        from dss_tpu.ops.splat_pallas import segment_sum_views_matmul
+
+        p = 129  # p-1=128 → hi=1/lo=0; dump p → hi=1/lo=1 (same hi block)
+        seg = jnp.asarray([[0, 128, 128, 129, 129]], dtype=jnp.int32)
+        vals = jnp.asarray([[[1.0], [2.0], [4.0], [64.0], [64.0]]])
+        got = np.asarray(segment_sum_views_matmul(vals, seg, p))[0, :, 0]
+        assert got[0] == 1.0 and got[128] == 6.0
+        assert np.all(got[1:128] == 0.0)
+
+    def test_end_to_end_gradients_match_sorted_path(self):
+        """Flag-on vs flag-off through the full view-batched lean render:
+        gradients to points and colors must agree (the only change is the
+        scatter algorithm; interpret-mode f32 dots make it exact here)."""
+        from dss_tpu.geometry.cameras import (
+            FoVPerspectiveCameras,
+            look_at_view_transform,
+        )
+        from dss_tpu.geometry.shapes import ico_sphere, sample_points_from_mesh
+        from dss_tpu.render.ewa import RasterSettings, compute_vrk_h_global
+        from dss_tpu.render.renderer import render_views
+
+        verts, faces = ico_sphere(level=3, radius=0.5)
+        pts_np, normals_np = sample_points_from_mesh(verts, faces, 600)
+        pts, normals = jnp.asarray(pts_np), jnp.asarray(normals_np)
+        colors = jnp.full_like(pts, 0.6)
+        mask = jnp.ones((600,), bool)
+        r, t = look_at_view_transform(
+            dist=jnp.full((2,), 2.0),
+            elev=jnp.asarray([-10.0, 20.0]),
+            azim=jnp.asarray([0.0, 120.0]),
+        )
+        cams = FoVPerspectiveCameras.create(r, t, fov=60.0)
+
+        def grads(mms):
+            s = RasterSettings(
+                image_size=64, points_per_pixel=5, cutoff_threshold=1.0,
+                Vrk_invariant=True, Vrk_isotropic=False,
+                backface_culling=True, matmul_scatter=mms,
+            )
+
+            def loss(p_, c_):
+                vh = compute_vrk_h_global(p_, mask)
+                rgba, _, _ = render_views(
+                    p_, normals, c_, mask, cams, None, s, vrk_h=vh
+                )
+                return jnp.mean(rgba[..., :3]) + jnp.mean(rgba[..., 3] ** 2)
+
+            return jax.grad(loss, argnums=(0, 1))(pts, colors)
+
+        g_sorted = grads(False)
+        g_matmul = grads(True)
+        for a, b in zip(g_sorted, g_matmul):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6
+            )
