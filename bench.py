@@ -67,9 +67,9 @@ def main():
     # DSS_BENCH_QUADRIC=1 evaluates the conic q as an MXU matmul per chunk
     # (the 3DGS tensor-core formulation) instead of elementwise VPU ops.
     quadric = os.environ.get("DSS_BENCH_QUADRIC", "0") == "1"
-    # DSS_BENCH_MMS=1 scatters per-point gradients/visibility via MXU
-    # one-hot matmuls instead of sort+cumsum segment sums.
-    mms = os.environ.get("DSS_BENCH_MMS", "0") == "1"
+    # DSS_BENCH_MMS=0 opts back into sort+cumsum segment sums instead of
+    # the MXU one-hot matmul scatter (the production default).
+    mms = os.environ.get("DSS_BENCH_MMS", "1") == "1"
     settings = RasterSettings(
         image_size=IMAGE_SIZE,
         points_per_pixel=K,
@@ -107,7 +107,34 @@ def main():
             jnp.abs(alpha - target_mask)
         )
 
-    step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2)))
+    grad_fn = jax.grad(loss_fn, argnums=(0, 1, 2))
+
+    # Steps per device dispatch: the production train CLI runs k consecutive
+    # steps as one lax.scan program (train_mvr --steps-per-dispatch), so the
+    # sustained-throughput number is measured the same way; the relay's
+    # per-dispatch latency (~6 ms here) amortizes over k.  Each scan step
+    # REALLY differs (the carry applies a tiny gradient update to the
+    # points, like the optimizer would) — no two iterations are CSE-able.
+    # DSS_BENCH_SCAN=1 opts back into one-dispatch-per-step timing.
+    k_scan = int(os.environ.get("DSS_BENCH_SCAN", "4"))
+
+    @jax.jit
+    def step(pts, normals, colors):
+        if k_scan <= 1:
+            return grad_fn(pts, normals, colors)
+
+        def body(carry, _):
+            p, gn, gc = carry
+            g = grad_fn(p, normals, colors)
+            # all three gradients stay live in the carry — nothing the real
+            # train step computes can be dead-code-eliminated here
+            return (p - 1e-6 * g[0], gn + g[1], gc + g[2]), None
+
+        out, _ = jax.lax.scan(
+            body, (pts, jnp.zeros_like(normals), jnp.zeros_like(colors)),
+            None, length=k_scan,
+        )
+        return out
 
     # warmup / compile
     for _ in range(WARMUP):
@@ -124,7 +151,7 @@ def main():
         for _ in range(ITERS):
             g = step(pts, normals, colors)
         jax.block_until_ready(g)
-        dt = min(dt, (time.perf_counter() - t0) / ITERS)
+        dt = min(dt, (time.perf_counter() - t0) / (ITERS * max(k_scan, 1)))
 
     msplats_per_s = N_POINTS * N_VIEWS / dt / 1e6
     print(

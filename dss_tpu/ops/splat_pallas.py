@@ -117,45 +117,49 @@ def sorted_segment_sum(
     return exb[1:] - exb[:-1]
 
 
-def _segsum_matmul_kernel(seg_row_ref, seg_col_ref, vals_ref, out_ref, *,
-                          n_hi, c, terms):
+def _segsum_matmul_kernel(seg_ref, vals_ref, out_ref, *, n_hi, c, terms):
     """Per-chunk scatter-as-matmul: out[lo, (c, hi)] += Σ_r 1[lo(r)]·v·1[hi(r)].
 
     The segment id splits as id = hi·128 + lo; two one-hot factors turn the
-    scatter into Aᵀ(B ⊙ v) — with A the (128, K) lo one-hot (exact in bf16)
-    on the M side for full MXU row utilization, and the C channels folded
-    into the N dim (C·n_hi columns, ONE dot per bf16 term).  The f32 values
-    ride as `terms` bf16 significand slices (8 bits each; 3 terms ≥ the f32
-    significand), so every MXU pass is a cheap bf16×bf16 with f32
-    accumulation.  The output block is revisited across the chunk grid axis
-    (standard TPU reduction pattern)."""
+    scatter into A·Bᵀ — with A the (128, K) lo one-hot (exact in bf16) on
+    the M side for full MXU row utilization, and the C channels folded into
+    the N dim (C·n_hi columns, ONE dot per bf16 term).  Everything derives
+    from ROW-layout inputs (ids (1, K), values (C, K)): both one-hot
+    factors build K-on-lanes, the dot contracts both operands' lane dims
+    (A·Bᵀ), and no relayout transposes appear in or around the kernel (the
+    two-layout variant measured 3.3 ms/step of compare_select layout copies
+    at the bench shape).  The f32 values ride as `terms` bf16 significand
+    slices (8 bits each; 3 terms ≥ the f32 significand), so every MXU pass
+    is a cheap bf16×bf16 with f32 accumulation.  The output block is
+    revisited across the chunk grid axis (standard TPU reduction pattern)."""
     i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    lo = seg_row_ref[0, 0, :][None, :] % 128  # (1, K)
-    hi = seg_col_ref[0, :, :] // 128  # (K, 1)
-    k = lo.shape[1]
+    seg = seg_ref[0, 0, :][None, :]  # (1, K)
+    k = seg.shape[1]
     at = (
-        jax.lax.broadcasted_iota(jnp.int32, (128, k), 0) == lo
+        jax.lax.broadcasted_iota(jnp.int32, (128, k), 0) == seg % 128
     ).astype(jnp.bfloat16)
-    bmat = (
-        jax.lax.broadcasted_iota(jnp.int32, (k, n_hi), 1) == hi
+    hmask = (
+        jax.lax.broadcasted_iota(jnp.int32, (n_hi, k), 0) == seg // 128
     ).astype(jnp.float32)
-    vals = vals_ref[0]  # (k, c)
-    # (k, c·n_hi) with (c, hi) column order — concat, not reshape: Mosaic
-    # cannot shape-cast (k, c, n_hi) → (k, c·n_hi).
+    # (c·n_hi, K) with (c, hi) row order — concat, not reshape: Mosaic
+    # cannot shape-cast a (c, n_hi, k) stack flat.
     bv = jnp.concatenate(
-        [bmat * vals[:, ch][:, None] for ch in range(c)], axis=1
+        [hmask * vals_ref[0, ch, :][None, :] for ch in range(c)], axis=0
     )
     acc = jnp.zeros((128, c * n_hi), jnp.float32)
     for _ in range(terms):
         bt = bv.astype(jnp.bfloat16)
         bv = bv - bt.astype(jnp.float32)
+        # Explicit transpose + plain dot: dot_general with a lane-contracted
+        # rhs (A·Bᵀ dimension numbers) sends the remote Mosaic compile into
+        # the weeds (>15 min, vs seconds for this form).
         acc += jax.lax.dot_general(
-            at, bt, (((1,), (0,)), ((), ())),
+            at, bt.T, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     out_ref[0] += acc
@@ -167,17 +171,20 @@ def segment_sum_views_matmul(
 ) -> jnp.ndarray:
     """Batched segment sum as per-chunk one-hot matmuls on the MXU.
 
-    vals (V, N, C) f32, seg (V, N) int32 in [0, num_segments] (num_segments
-    is the dump bucket, dropped); returns (V, num_segments, C).  Same
-    contract as vmapped sorted_segment_sum; replaces its sort+cumsum with
-    MXU outer-product accumulation — profiling at the bench shape showed 6
-    sorts of the (8, 136k) slot array (~12 ms/step) plus their sentinel
-    concat copies (~7 ms/step) dominating the non-kernel step time."""
-    v, n, c = vals.shape
+    vals (V, C, N) f32 — CHANNEL-MAJOR, so the per-channel rows arrive in
+    the same row layout as the ids and no relayout copies are needed —
+    and seg (V, N) int32 in [0, num_segments] (num_segments is the dump
+    bucket, dropped); returns (V, num_segments, C).  Same contract as
+    vmapped sorted_segment_sum (transposed input); replaces its sort+cumsum
+    with MXU outer-product accumulation — profiling at the bench shape
+    showed 6 sorts of the (8, 136k) slot array (~12 ms/step) plus their
+    sentinel concat copies (~7 ms/step) dominating the non-kernel step
+    time."""
+    v, c, n = vals.shape
     n_hi = -(-(num_segments + 1) // 128)
     npad = -(-n // chunk) * chunk
     if npad != n:
-        vals = jnp.pad(vals, ((0, 0), (0, npad - n), (0, 0)))
+        vals = jnp.pad(vals, ((0, 0), (0, 0), (0, npad - n)))
         seg = jnp.pad(seg, ((0, 0), (0, npad - n)),
                       constant_values=num_segments)
     out = pl.pallas_call(
@@ -186,9 +193,7 @@ def segment_sum_views_matmul(
         in_specs=[
             pl.BlockSpec((1, 1, chunk), lambda vi, i: (vi, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, 1), lambda vi, i: (vi, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, c), lambda vi, i: (vi, i, 0),
+            pl.BlockSpec((1, c, chunk), lambda vi, i: (vi, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 128, c * n_hi),
@@ -199,7 +204,7 @@ def segment_sum_views_matmul(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interpret_mode(),
-    )(seg.reshape(v, 1, npad), seg.reshape(v, npad, 1), vals)
+    )(seg.reshape(v, 1, npad), vals)
     # out[v, lo, c·n_hi + ...]: columns are (c, hi); flat id = hi·128 + lo.
     out = out.reshape(v, 128, c, n_hi).transpose(0, 3, 1, 2)
     return out.reshape(v, n_hi * 128, c)[:, :num_segments]
@@ -912,7 +917,7 @@ def rasterize_forward_views_lean(
     seg = jnp.where(ids >= 0, ids, p)
     if matmul_scatter:
         vis = segment_sum_views_matmul(
-            vis_t.reshape(v, -1, 1), seg, p
+            vis_t.reshape(v, 1, -1), seg, p
         )[..., 0]
     else:
         vis = jax.vmap(
@@ -1307,9 +1312,14 @@ def feat_backward_views(
     )
     ids = binned.tile_ids.reshape(v, -1)
     seg = jnp.where(ids >= 0, ids, p)
-    partials = gf_t[:, :, :3, :].transpose(0, 1, 3, 2).reshape(v, -1, 3)
     if matmul_scatter:
+        # Channel-major without a transpose: each channel of the kernel's
+        # (V, n_tiles, 4, M) output flattens to a (V, N) row directly.
+        partials = jnp.stack(
+            [gf_t[:, :, ch, :].reshape(v, -1) for ch in range(3)], axis=1
+        )
         return segment_sum_views_matmul(partials, seg, p)
+    partials = gf_t[:, :, :3, :].transpose(0, 1, 3, 2).reshape(v, -1, 3)
     return jax.vmap(lambda pa, sg: sorted_segment_sum(pa, sg, p))(
         partials, seg
     )
@@ -1580,11 +1590,14 @@ def occ_backward_views_from_binned(
     # 2-channel sorted segment sum per view instead of scatter-adds).
     ids = binned.tile_ids.reshape(v, -1)
     seg = jnp.where(ids >= 0, ids, p)
+    if matmul_scatter:
+        partials = jnp.stack(
+            [gx_t.reshape(v, -1), gy_t.reshape(v, -1)], axis=1
+        )
+        return segment_sum_views_matmul(partials, seg, p)
     partials = jnp.stack(
         [gx_t.reshape(v, -1), gy_t.reshape(v, -1)], axis=2
     )
-    if matmul_scatter:
-        return segment_sum_views_matmul(partials, seg, p)
     return jax.vmap(lambda pa, sg: sorted_segment_sum(pa, sg, p))(
         partials, seg
     )

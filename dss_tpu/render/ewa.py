@@ -115,8 +115,10 @@ class RasterSettings:
     # segment_sum_views_matmul: id = hi·128+lo, out = Bᵀ(A⊙v) per chunk)
     # instead of sort+cumsum segment sums.  Profiled at the bench shape the
     # sort path spends ~19 ms/step in six (8, 136k) sorts + their sentinel
-    # concat copies; the matmul path moves that to the idle MXU.
-    matmul_scatter: bool = struct.field(pytree_node=False, default=False)
+    # concat copies; the matmul path moves that to the idle MXU.  Default on
+    # (bench 0.707 → 0.759+ Msplats/s); the sort path remains for the
+    # single-view/non-lean entries and as the A/B reference.
+    matmul_scatter: bool = struct.field(pytree_node=False, default=True)
 
 
 @struct.dataclass

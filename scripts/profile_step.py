@@ -73,7 +73,7 @@ def main():
         Vrk_invariant=True, Vrk_isotropic=False, backface_culling=True,
         tiled_io=tiled,
         mxu_quadric=os.environ.get("DSS_BENCH_QUADRIC", "0") == "1",
-        matmul_scatter=os.environ.get("DSS_BENCH_MMS", "0") == "1",
+        matmul_scatter=os.environ.get("DSS_BENCH_MMS", "1") == "1",
     )
     tgt_rgb = jnp.zeros((v, s, s, 3))
     tgt_m = jnp.zeros((v, s, s))

@@ -229,10 +229,12 @@ class TestModelAndTrainStep:
         for _ in range(4):
             state, metrics = step(state, cams, None, img, mask_img)
             losses.append(float(metrics["loss"]))
-        # Regenerated (round 3) for the sentinel-merge sorted_segment_sum:
-        # same math, different f32 cumsum association — step 1 (pre-update
-        # loss) is bit-identical, steps 2-4 drift <0.8% through Adam.
-        pinned = [0.308618, 0.741177, 0.520276, 0.407514]
+        # Regenerated (round 3) for the matmul_scatter default (MXU one-hot
+        # scatter replaces sort+cumsum segment sums): same math, different
+        # f32 association — step 1 (pre-update loss) is bit-identical,
+        # steps 2-4 drift <0.8% through Adam.  (Previous pin, sentinel-merge
+        # sorted_segment_sum: [0.308618, 0.741177, 0.520276, 0.407514].)
+        pinned = [0.308618, 0.738219, 0.522067, 0.410642]
         np.testing.assert_allclose(losses, pinned, rtol=1e-4)
 
     def test_depth_loss_drives_z_gradients(self):

@@ -534,11 +534,11 @@ class TestMatmulSegmentSum:
         rng = np.random.default_rng(3)
         v, n, c, p = 3, 9000, 3, 641
         seg = jnp.asarray(rng.integers(0, p + 1, size=(v, n), dtype=np.int32))
-        vals = jnp.asarray(rng.standard_normal((v, n, c)).astype(np.float32))
+        vals = jnp.asarray(rng.standard_normal((v, c, n)).astype(np.float32))
         got = segment_sum_views_matmul(vals, seg, p)
-        want = jax.vmap(lambda va, sg: sorted_segment_sum(va, sg, p))(
-            vals, seg
-        )
+        want = jax.vmap(
+            lambda va, sg: sorted_segment_sum(va.T, sg, p)
+        )(vals, seg)
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=1e-4
         )
@@ -551,7 +551,7 @@ class TestMatmulSegmentSum:
 
         p = 129  # p-1=128 → hi=1/lo=0; dump p → hi=1/lo=1 (same hi block)
         seg = jnp.asarray([[0, 128, 128, 129, 129]], dtype=jnp.int32)
-        vals = jnp.asarray([[[1.0], [2.0], [4.0], [64.0], [64.0]]])
+        vals = jnp.asarray([[[1.0, 2.0, 4.0, 64.0, 64.0]]])
         got = np.asarray(segment_sum_views_matmul(vals, seg, p))[0, :, 0]
         assert got[0] == 1.0 and got[128] == 6.0
         assert np.all(got[1:128] == 0.0)
