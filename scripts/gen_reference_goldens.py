@@ -20,11 +20,15 @@ Known reference-internal divergence (documented, handled in the test): the
 CPU occ-backward restricts support by a per-point axis-aligned box test
 (|dx|>rx·s && |dy|>ry·s → skip, cpp:464), while the production CUDA kernel
 uses a global disc ‖d‖² ≤ (median(radii)·s)² (rasterize_points_backward.cu:
-150-158) — dss_tpu implements the CUDA rule. The occ-backward golden is
-therefore generated with a support radius large enough to cover the whole
-image, where both rules coincide and what remains is exactly the shared
-semantics: the NDC flip, the pz/|px|/|py| validity tests, the asymmetric
-(grad>0 ∧ outside-splat → skip) rule, and the d/max(‖d‖²,ε) field.
+150-158) — dss_tpu implements the CUDA rule. TWO occ-backward goldens are
+generated: (a) a support radius large enough to cover the whole image, where
+both rules coincide and what remains is exactly the shared semantics — the
+NDC flip, the pz/|px|/|py| validity tests, the asymmetric (grad>0 ∧
+outside-splat → skip) rule, and the d/max(‖d‖²,ε) field — and (b) a FINITE
+mid-anneal scaler (disc ≈ 0.2 NDC), where the test corrects the
+box-vs-disc support delta analytically and pins the shared field over the
+(dominant) region where both rules agree (test_reference_golden.py::
+TestOccBackward::test_finite_radius_matches_reference).
 
 Run: python scripts/gen_reference_goldens.py   (CPU only, ~1 min + one-time
 ~40 s extension build in /tmp/dss_ref_ext).
@@ -205,7 +209,36 @@ def run_reference(ext, scene, rng):
         idx, torch.from_numpy(grad_zbuf), pt_z_grad
     )
 
+    # FINITE support radius (the path training actually anneals through).
+    # Here the CPU box/cross rule (|dx|>rx·s && |dy|>ry·s → skip, cpp:464)
+    # and the CUDA/dss_tpu global disc rule genuinely diverge; the test pins
+    # the shared field on the region where both rules agree and corrects the
+    # rule delta analytically (tests/test_reference_golden.py).  Scaler is
+    # chosen so the disc radius ≈ 0.2 NDC — mid-anneal territory.  A sparser
+    # cotangent (3%) keeps a healthy fraction of points delta-free so the
+    # exact-agreement sub-assertion stays non-vacuous.
+    radii_s_finite = float(0.2 / max(np.median(scene["radii"]), 1e-6))
+    grad_occ_finite = np.zeros((1, s, s), np.float32)
+    sel_f = rng.random((1, s, s)) < 0.03
+    grad_occ_finite[sel_f] = rng.choice(
+        [-1.0, 1.0], size=int(sel_f.sum())
+    ).astype(np.float32) * rng.uniform(0.2, 2.0, int(sel_f.sum())).astype(
+        np.float32
+    )
+    grad_pts_finite = ext.occ_backward(
+        pts,
+        torch.from_numpy(scene["radii"]),
+        torch.from_numpy(grad_occ_finite),
+        first_idx,
+        num_pts,
+        radii_s_finite,
+        float(scene["depth_merging_threshold"]),
+    )
+
     return {
+        "grad_occ_finite": grad_occ_finite[0],
+        "radii_backward_scaler_finite": np.float32(radii_s_finite),
+        "grad_pts_xy_finite": np.asarray(grad_pts_finite, np.float32),
         "idx": np.asarray(idx, np.int32)[0],
         "zbuf": np.asarray(zbuf, np.float32)[0],
         "qvalue": np.asarray(qvalue, np.float32)[0],

@@ -164,6 +164,105 @@ class TestOccBackward:
             grad_xy[keep] / denom, want[keep] / denom, atol=6e-3
         )
 
+    def test_finite_radius_matches_reference(self, golden):
+        """FINITE support (mid-anneal scaler) — the path training actually
+        uses.  Here the reference-CPU support rule (skip iff |dx|>rx·s AND
+        |dy|>ry·s, rasterize_points_cpu.cpp:464 — a per-point cross) and
+        dss_tpu's CUDA-rule global disc (‖d‖ ≤ median(radii)·s,
+        rasterize_points_backward.cu:150-158) genuinely diverge, so the
+        comparison corrects the support-rule delta analytically: golden +
+        Σ(disc-only contributions) − Σ(cross-only contributions) must equal
+        dss_tpu's output.  Everything OUTSIDE the delta — the validity
+        rejects, the asymmetric grad>0∧outside-splat rule, and the
+        d/max(‖d‖²,ε) field over the (large) region where both rules agree —
+        is thereby pinned against the reference execution at finite radius.
+        Non-vacuity: the CPU cross rule keeps infinite strip arms (the skip
+        needs BOTH axes to exceed), so no point is fully delta-free; instead
+        the test asserts the agreed-region contribution magnitude exceeds
+        the correction for most points (all of them, on the teapot), i.e.
+        the comparison is dominated by reference-pinned signal."""
+        pts = np.asarray(golden["pts_screen"])
+        radii = np.asarray(golden["radii"])
+        s = int(golden["image_size"])
+        scaler = float(golden["radii_backward_scaler_finite"])
+        g_img = golden["grad_occ_finite"]
+        p = pts.shape[0]
+
+        grad_xy = np.asarray(
+            _occ_backward(
+                jnp.asarray(pts),
+                jnp.asarray(radii),
+                jnp.ones((p,), bool),
+                jnp.asarray(g_img),
+                scaler,
+                s,
+                32,
+            )
+        )
+
+        # Active pixels in NDC (reference convention: index-reversed).
+        ys, xs = np.nonzero(g_img != 0.0)
+        g = g_img[ys, xs].astype(np.float64)
+        xf = 1.0 - (2.0 * xs + 1.0) / s
+        yf = 1.0 - (2.0 * ys + 1.0) / s
+
+        # Same pooled-median disc radius _occ_backward derives (visible=all).
+        cur_r = float(np.median(radii)) * scaler
+        pt_ok = (
+            (pts[:, 2] >= 0.0)
+            & (np.abs(pts[:, 0]) <= 1.0)
+            & (np.abs(pts[:, 1]) <= 1.0)
+        )
+
+        corr = np.zeros((p, 2), np.float64)
+        inter_mag = np.zeros((p,), np.float64)
+        d2min = np.full((p,), np.inf)
+        for i in range(0, p, 2048):
+            sl = slice(i, min(i + 2048, p))
+            dx = xf[None, :] - pts[sl, 0:1]
+            dy = yf[None, :] - pts[sl, 1:2]
+            dist2 = dx * dx + dy * dy
+            d2min[sl] = dist2.min(axis=1)
+            outside_splat = (np.abs(dx) > radii[sl, 0:1]) | (
+                np.abs(dy) > radii[sl, 1:2]
+            )
+            gate = pt_ok[sl, None] & ~((g[None, :] > 0.0) & outside_splat)
+            in_cross = ~(
+                (np.abs(dx) > radii[sl, 0:1] * scaler)
+                & (np.abs(dy) > radii[sl, 1:2] * scaler)
+            )
+            in_disc = dist2 <= cur_r * cur_r
+            delta = gate & (in_cross != in_disc)
+            w = g[None, :] / np.maximum(dist2, 1e-8)
+            signed = np.where(delta, np.where(in_disc, w, -w), 0.0)
+            corr[sl, 0] = (signed * dx).sum(axis=1)
+            corr[sl, 1] = (signed * dy).sum(axis=1)
+            w_agree = np.where(gate & in_disc & in_cross, w, 0.0)
+            inter_mag[sl] = np.abs(w_agree * dx).sum(axis=1) + np.abs(
+                w_agree * dy
+            ).sum(axis=1)
+
+        want = golden["grad_pts_xy_finite"].astype(np.float64) + corr
+
+        # Singular-pixel exclusion, as in the wide-radius test.
+        keep = d2min >= 1e-7
+        assert (~keep).sum() <= 10
+
+        # Non-vacuous: the reference-pinned agreed region must carry more
+        # contribution magnitude than the analytic correction for most
+        # points (100% on the teapot; the synthetic scene's wild radii mix
+        # makes its cross arms relatively larger).
+        ok = keep & pt_ok
+        dominated = float(
+            (np.abs(corr[ok]).sum(axis=1) < inter_mag[ok]).mean()
+        )
+        assert dominated > 0.5, f"agreed-region-dominant fraction {dominated}"
+
+        denom = np.maximum(np.abs(want), 1.0)
+        np.testing.assert_allclose(
+            grad_xy[keep] / denom[keep], want[keep] / denom[keep], atol=6e-3
+        )
+
     def test_zbuf_backward_matches_reference(self, golden):
         p = golden["pts_screen"].shape[0]
         grad_z = np.asarray(
