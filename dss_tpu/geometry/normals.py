@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from dss_tpu.geometry.knn import knn_points, masked_gather
-from dss_tpu.utils.mathutil import eps_denom, normalize
+from dss_tpu.utils.mathutil import eps_denom, normalize, tangent_frame
 
 
 @partial(jax.jit, static_argnames=("neighborhood_size", "disambiguate_directions"))
@@ -70,3 +70,111 @@ def estimate_normals(
         s = jnp.where(jnp.sum(n * reference_normals, axis=-1, keepdims=True) < 0, -1.0, 1.0)
         n = n * s
     return normalize(n)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "neighborhood_size",
+        "jet_passes",
+        "bilateral_k",
+        "bilateral_iters",
+    ),
+)
+def refine_normals(
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    neighborhood_size: int = 48,
+    jet_passes: int = 2,
+    bilateral_sigma: float = 0.5,
+    bilateral_k: int = 16,
+    bilateral_iters: int = 2,
+) -> jnp.ndarray:
+    """Geometry-driven normal refinement: weighted osculating-jet fit +
+    bilateral smoothing.
+
+    Upgrades a roughly-oriented normal field (e.g. shading-recovered after
+    the flagship refine phase) using only the point GEOMETRY: per point, fit
+    the quadric height field w(u,v) = au² + buv + cv² + du + ev + f over the
+    kNN neighborhood expressed in the current normal's tangent frame
+    (Gaussian-weighted least squares), and tilt the normal by the fitted
+    gradient n ← n − d·t₁ − e·t₂.  Unlike plane-PCA (estimate_normals) the
+    quadric term absorbs curvature, so the fit is unbiased on curved
+    surfaces (CGAL's jet_estimate_normals idea; the reference's closest
+    machinery is the plane-PCA estimate_pointcloud_normals,
+    mathHelper.py:113-147, which this strictly dominates on curved
+    neighborhoods).  A few bilateral iterations (spatial × normal-similarity
+    weights, the image-domain bilateral of render/image_filters ported to
+    the kNN graph) then suppress residual zero-mean noise without smearing
+    creases.  Orientation follows the input field throughout — only the
+    direction is re-estimated, never the sign.
+
+    Everything is fixed-shape and batched: one kNN, gathers, and per-point
+    6×6 normal-equation solves — MXU/VPU-friendly on TPU.  Masked-out points
+    keep their input normals.
+
+    Measured on the flagship (BENCHMARKS.md E16): chamfer_normal
+    0.360 → 0.244 with points untouched (the transplant bound for that
+    geometry is 0.087).
+    """
+    p = points.shape[0]
+    if mask is None:
+        mask = jnp.ones((p,), bool)
+    n = normalize(normals)
+
+    k = min(neighborhood_size, p)
+    d2, idx = knn_points(points, points, mask, mask, k=k)
+    nn = masked_gather(points, idx)  # (P, K, 3)
+    valid = (idx >= 0) & mask[:, None]
+    rel = (nn - points[:, None, :]) * valid[..., None].astype(points.dtype)
+    # Gaussian weights at the neighborhood's own scale.
+    d2c = jnp.where(valid, d2, 0.0)
+    h2 = eps_denom(jnp.sum(d2c, axis=1) / eps_denom(jnp.sum(valid, axis=1)))
+    wt = jnp.exp(-d2c / h2[:, None]) * valid.astype(points.dtype)  # (P, K)
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def jet_pass(n_cur):
+        frame = tangent_frame(n_cur)  # (P, 2, 3)
+        t1, t2 = frame[:, 0, :], frame[:, 1, :]
+        u = jnp.einsum("pki,pi->pk", rel, t1, precision=hi)
+        v = jnp.einsum("pki,pi->pk", rel, t2, precision=hi)
+        w = jnp.einsum("pki,pi->pk", rel, n_cur, precision=hi)
+        a = jnp.stack(
+            [u * u, u * v, v * v, u, v, jnp.ones_like(u)], axis=-1
+        )  # (P, K, 6)
+        aw = a * wt[..., None]
+        g = jnp.einsum("pka,pkb->pab", aw, a, precision=hi)  # (P, 6, 6)
+        b = jnp.einsum("pka,pk->pa", aw, w, precision=hi)  # (P, 6)
+        # Tikhonov scaled to the system's own magnitude keeps degenerate
+        # neighborhoods (collinear, too few valid) solvable.
+        tr = jnp.trace(g, axis1=-2, axis2=-1)
+        g = g + (1e-7 * tr[:, None, None] + 1e-12) * jnp.eye(6)
+        coef = jnp.linalg.solve(g, b[..., None])[..., 0]  # (P, 6)
+        tilted = n_cur - coef[:, 3:4] * t1 - coef[:, 4:5] * t2
+        return normalize(tilted)
+
+    for _ in range(jet_passes):
+        n = jnp.where(mask[:, None], jet_pass(n), n)
+
+    # Bilateral smoothing over the kNN graph (closest bilateral_k of the
+    # same sorted neighbor set).
+    kb = min(bilateral_k, k)
+    idx_b, d2_b, valid_b = idx[:, :kb], d2c[:, :kb], valid[:, :kb]
+    # Spatial scale: median squared NN spacing among valid non-self pairs.
+    off_self = jnp.where(valid_b[:, 1:], d2_b[:, 1:], jnp.nan)
+    s2 = eps_denom(jnp.nanmedian(off_self))
+    sig_r = bilateral_sigma
+    for _ in range(bilateral_iters):
+        nnb = masked_gather(n, idx_b)  # (P, kb, 3)
+        cosd = 1.0 - jnp.einsum("pki,pi->pk", nnb, n, precision=hi)
+        wb = (
+            jnp.exp(-d2_b / s2)
+            * jnp.exp(-((cosd / sig_r) ** 2))
+            * valid_b.astype(points.dtype)
+        )
+        sm = jnp.einsum("pk,pki->pi", wb, nnb, precision=hi)
+        n = jnp.where(mask[:, None], normalize(sm), n)
+
+    return n

@@ -178,6 +178,60 @@ class TestNormals:
         cos = jnp.sum(n * pts, axis=-1)
         assert float(jnp.mean(cos)) > 0.98
 
+    def test_refine_normals_beats_noisy_and_pca(self):
+        """Jet+bilateral refinement on a noisy sphere cloud: the refined
+        field must be closer to the analytic normals than both the noisy
+        input field and plane-PCA estimation (the curvature-bias case the
+        quadric term exists for)."""
+        from dss_tpu.geometry.normals import refine_normals
+
+        key = jax.random.PRNGKey(11)
+        k1, k2, k3 = jax.random.split(key, 3)
+        # curved height field z = sin(3x)cos(3y)/2 with analytic normals
+        xy = jax.random.uniform(k1, (2000, 2), minval=-1.0, maxval=1.0)
+        z = jnp.sin(3.0 * xy[:, 0]) * jnp.cos(3.0 * xy[:, 1]) * 0.5
+        pts = jnp.concatenate([xy, z[:, None]], axis=-1)
+        fx = 1.5 * jnp.cos(3 * xy[:, 0]) * jnp.cos(3 * xy[:, 1])
+        fy = -1.5 * jnp.sin(3 * xy[:, 0]) * jnp.sin(3 * xy[:, 1])
+        gt_n = jnp.stack([-fx, -fy, jnp.ones_like(fx)], axis=-1)
+        gt_n = gt_n / jnp.linalg.norm(gt_n, axis=-1, keepdims=True)
+        pts = pts + 0.002 * jax.random.normal(k2, pts.shape)
+        # noisy-but-oriented input normals (~23° rms angular noise)
+        noisy = gt_n + 0.4 * jax.random.normal(k3, (2000, 3))
+        noisy = noisy / jnp.linalg.norm(noisy, axis=-1, keepdims=True)
+
+        def err(n):
+            return float(
+                jnp.mean(1.0 - jnp.abs(jnp.sum(n * gt_n, axis=-1)))
+            )
+
+        refined = refine_normals(pts, noisy, neighborhood_size=48)
+        pca = estimate_normals(pts, neighborhood_size=48,
+                               reference_normals=noisy)
+        assert err(refined) < 0.05 * err(noisy)
+        # the quadric term absorbs curvature; plane-PCA is biased at this k
+        assert err(refined) < err(pca)
+
+    def test_refine_normals_respects_mask(self):
+        from dss_tpu.geometry.normals import refine_normals
+
+        key = jax.random.PRNGKey(12)
+        v = jax.random.normal(key, (256, 3))
+        gt_n = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+        pts = gt_n * 1.0
+        mask = jnp.arange(256) < 200
+        fixed = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (256, 1))
+        out = refine_normals(pts, fixed, mask, neighborhood_size=16)
+        # masked-out entries keep their input normals exactly
+        np.testing.assert_allclose(
+            np.asarray(out)[~np.asarray(mask)],
+            np.asarray(fixed)[~np.asarray(mask)],
+        )
+        # outputs stay unit-length
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(out), axis=-1), 1.0, atol=1e-5
+        )
+
 
 class TestPointClouds:
     def test_normalize_to_sphere(self):
