@@ -16,6 +16,9 @@ timeout 2400 python -m dss_tpu.apps.train_multiscene --scenes 4 --points 25000 \
 echo "=== 3. kernel + 100k scale bench ==="
 timeout 3600 python scripts/bench_scale.py 2>&1 | tail -12 | tee /tmp/r3q/scale.txt
 
+echo "=== 3b. 100k pair-cap sweep ==="
+timeout 3600 python scripts/sweep_pair_caps.py 2>&1 | grep -E "^fwd" | tee /tmp/r3q/paircaps.txt
+
 echo "=== 4. E17: extend the shading normals-refine, then jet-refine ==="
 timeout 5400 python train_mvr.py --config configs/exp_e15c_refine.yml \
   --max-iters 16000 2>&1 | tail -3
