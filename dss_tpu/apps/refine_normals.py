@@ -74,6 +74,11 @@ def main() -> None:
         from dss_tpu.data.dataset import MVRDataset
 
         gt_pts, gt_nrm, _ = MVRDataset(args.data).get_pointclouds()
+        if gt_pts is None or gt_nrm is None:
+            raise SystemExit(
+                f"--data {args.data} has no ground-truth point cloud; "
+                "drop --data or point it at a dataset with GT points+normals"
+            )
         for tag, n in (("before", nrm), ("after ", refined)):
             cd, cn = chamfer_distance(
                 jnp.asarray(gt_pts),
@@ -88,6 +93,8 @@ def main() -> None:
             )
 
     out = args.out or os.path.splitext(args.ckpt)[0] + "_jet.npz"
+    if not out.endswith(".npz"):
+        out += ".npz"  # np.savez appends it anyway; keep the log truthful
     ck["params/normals"] = np.asarray(refined, np.float32)
     np.savez(out, **ck)
     print(f"wrote {out}")

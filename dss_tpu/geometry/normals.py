@@ -159,12 +159,22 @@ def refine_normals(
         n = jnp.where(mask[:, None], jet_pass(n), n)
 
     # Bilateral smoothing over the kNN graph (closest bilateral_k of the
-    # same sorted neighbor set).
+    # same sorted neighbor set).  With <2 neighbors the smoothing is the
+    # identity — skip it (and avoid a (P, 0) median).
     kb = min(bilateral_k, k)
+    if kb < 2:
+        bilateral_iters = 0
+        kb = 1
     idx_b, d2_b, valid_b = idx[:, :kb], d2c[:, :kb], valid[:, :kb]
-    # Spatial scale: median squared NN spacing among valid non-self pairs.
-    off_self = jnp.where(valid_b[:, 1:], d2_b[:, 1:], jnp.nan)
-    s2 = eps_denom(jnp.nanmedian(off_self))
+    # Spatial scale: median squared NN spacing among valid non-self pairs;
+    # fall back to 1.0 if no point has a valid non-self neighbor (the
+    # nanmedian would otherwise propagate NaN into every normal).
+    if bilateral_iters > 0:
+        off_self = jnp.where(valid_b[:, 1:], d2_b[:, 1:], jnp.nan)
+        med = jnp.nanmedian(off_self)
+        s2 = eps_denom(jnp.where(jnp.isfinite(med), med, 1.0))
+    else:
+        s2 = jnp.asarray(1.0, points.dtype)
     sig_r = bilateral_sigma
     for _ in range(bilateral_iters):
         nnb = masked_gather(n, idx_b)  # (P, kb, 3)

@@ -4,7 +4,7 @@
 #   2. configs/dss_fine.yml   — pixel-scale silhouette refinement (floor 0.5)
 #   3. configs/dss_refine.yml — freeze points, refine normals under shading
 #   4. configs/dss_hires.yml  — 1024² silhouette-dominant geometry push
-#   5. configs/dss_refine.yml — re-refine normals on the moved geometry
+#   5. configs/dss_refine2.yml — re-refine normals on the moved geometry
 #   6. apps/refine_normals    — geometry-driven jet + bilateral normal fit
 # Yields chamfer 0.00273 / chamfer_normal 0.244 on the yoga6 demo
 # (~35 min on one v5e chip).  Usage: bash scripts/train_flagship.sh \
