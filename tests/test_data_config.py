@@ -253,3 +253,67 @@ class TestCreateMVRDataCLI:
         assert ds.depths[covered].max() < 3.3
         pts, normals, _ = ds.get_pointclouds()
         assert pts.shape == (200, 3)
+
+
+class TestTrainCLIDispatch:
+    def test_scan_dispatch_matches_per_step(self, tiny_dataset, tmp_path):
+        """Multi-step dispatch (k train steps per device program via
+        lax.scan, train_mvr --steps-per-dispatch) is a pure batching of the
+        SAME math: the on-device batch phase is state.step % steps_per_epoch
+        either way, so k=4 must land on the same final parameters as k=1
+        (scan only changes program structure, not the update sequence)."""
+        import yaml
+
+        from dss_tpu.apps.train_mvr import main as train_main
+
+        root, _ = tiny_dataset
+
+        def run(k, name):
+            cfg = {
+                "name": name,
+                "data": {"data_dir": root, "type": "MVR"},
+                "model": {
+                    "type": "point",
+                    "model_kwargs": {
+                        "learn_colors": True,
+                        "learn_normals": True,
+                        "learn_points": True,
+                        "n_points_per_cloud": 120,
+                    },
+                },
+                "renderer": {
+                    "raster_params": {
+                        "image_size": 16,
+                        "points_per_pixel": 3,
+                        "cutoff_threshold": 1.0,
+                        "radii_backward_scaler": 10.0,
+                    }
+                },
+                "training": {
+                    "batch_size": 1,  # 4 views -> 4 steps/epoch, k=4 divides
+                    "out_dir": str(tmp_path / "exp"),
+                    "print_every": 100,
+                    "validate_every": -1,
+                    "visualize_every": -1,
+                    "checkpoint_every": 100,
+                    "lambda_dr_repel": 0.01,
+                    "lambda_dr_proj": 0.01,
+                },
+            }
+            cfg_path = tmp_path / f"{name}.yml"
+            cfg_path.write_text(yaml.safe_dump(cfg))
+            train_main([
+                "--config", str(cfg_path), "--max-iters", "8",
+                "--platform", "cpu", "--steps-per-dispatch", str(k),
+                "--seed", "0",
+            ])
+            ck = np.load(tmp_path / "exp" / name / "model.npz")
+            return {key: ck[key] for key in ck.files if key.startswith("params/")}
+
+        p1 = run(1, "disp1")
+        p4 = run(4, "disp4")
+        assert set(p1) == set(p4)
+        for key in p1:
+            np.testing.assert_allclose(
+                p1[key], p4[key], atol=1e-5, rtol=1e-5, err_msg=key
+            )
