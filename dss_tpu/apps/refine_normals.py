@@ -26,7 +26,7 @@ import os
 import numpy as np
 
 
-def main() -> None:
+def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--ckpt", required=True)
     parser.add_argument("--out", default=None,
@@ -39,7 +39,7 @@ def main() -> None:
     parser.add_argument("--sigma", type=float, default=0.5)
     parser.add_argument("--bilateral-k", type=int, default=16)
     parser.add_argument("--bilateral-iters", type=int, default=2)
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
 
     from dss_tpu.utils.platform import setup_jax
 

@@ -317,3 +317,45 @@ class TestTrainCLIDispatch:
             np.testing.assert_allclose(
                 p1[key], p4[key], atol=1e-5, rtol=1e-5, err_msg=key
             )
+
+
+class TestRefineNormalsCLI:
+    def test_checkpoint_roundtrip(self, tmp_path):
+        """apps/refine_normals loads a train checkpoint, replaces ONLY
+        params/normals (unit-length), preserves every other key bit-exactly,
+        and writes the refined PLY next to the npz."""
+        from dss_tpu.apps.refine_normals import main as rn_main
+        from tests.test_render import fibonacci_sphere
+
+        pts = np.asarray(fibonacci_sphere(200, 0.5), np.float32)
+        gt_n = pts / np.linalg.norm(pts, axis=-1, keepdims=True)
+        rng = np.random.default_rng(3)
+        noisy = gt_n + 0.3 * rng.standard_normal(gt_n.shape).astype(np.float32)
+        noisy /= np.linalg.norm(noisy, axis=-1, keepdims=True)
+        ck_path = tmp_path / "model.npz"
+        np.savez(
+            ck_path,
+            **{
+                "params/points": pts,
+                "params/normals": noisy,
+                "params/colors": np.full_like(pts, 0.5),
+                "filters/activation": np.ones((200,), bool),
+                "it": np.int64(7),
+            },
+        )
+        rn_main([
+            "--ckpt", str(ck_path), "--platform", "cpu", "--k", "16",
+        ])
+        out = np.load(tmp_path / "model_jet.npz")
+        assert (tmp_path / "model_jet.ply").exists()
+        np.testing.assert_array_equal(out["params/points"], pts)
+        np.testing.assert_array_equal(out["it"], 7)
+        refined = out["params/normals"]
+        assert refined.shape == noisy.shape
+        np.testing.assert_allclose(
+            np.linalg.norm(refined, axis=-1), 1.0, atol=1e-5
+        )
+        # refined field is closer to the analytic sphere normals
+        def err(n):
+            return np.mean(1.0 - np.abs(np.sum(n * gt_n, axis=-1)))
+        assert err(refined) < 0.5 * err(noisy)
