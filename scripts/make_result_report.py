@@ -6,8 +6,11 @@ Reads exp/dss_proj/model.npz and /tmp/yoga6_data.
 import argparse
 import json
 import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
