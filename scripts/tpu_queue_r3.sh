@@ -9,6 +9,9 @@ mkdir -p /tmp/r3q
 echo "=== 1. headline bench (matmul-scatter default) ==="
 timeout 1800 python bench.py 2>&1 | tail -2 | tee /tmp/r3q/bench.txt
 
+echo "=== 1b. bench at k=8 scan window (dispatch amortization A/B) ==="
+DSS_BENCH_SCAN=8 timeout 1800 python bench.py 2>&1 | tail -1 | tee /tmp/r3q/bench_k8.txt
+
 echo "=== 2. multi-scene batched training (BASELINE config 5) ==="
 timeout 2400 python -m dss_tpu.apps.train_multiscene --scenes 4 --points 25000 \
   --views 8 --iters 60 --json-out /tmp/r3q/multiscene.json 2>&1 | tail -5
