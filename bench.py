@@ -167,4 +167,24 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:
+        import traceback
+
+        # A transient axon backend-init failure zeroed the round-3 capture
+        # (VERDICT r3 missing #1).  Bounded retry: 3 attempts, 60 s apart —
+        # re-exec rather than loop in-process because JAX caches a failed
+        # backend init for the life of the process.  This retries clean
+        # *failures*; a relay wedge (hang) is bounded by the driver timeout.
+        attempt = int(os.environ.get("DSS_BENCH_RETRY", "0"))
+        if attempt >= 2:
+            raise
+        traceback.print_exc()
+        print(
+            f"bench attempt {attempt + 1}/3 failed; retrying in 60 s",
+            file=sys.stderr,
+        )
+        time.sleep(60)
+        os.environ["DSS_BENCH_RETRY"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)

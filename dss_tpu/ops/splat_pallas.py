@@ -182,6 +182,14 @@ def segment_sum_views_matmul(
     time."""
     v, c, n = vals.shape
     n_hi = -(-(num_segments + 1) // 128)
+    # Bound the kernel's VMEM: bv (c·n_hi, chunk) f32 + its bf16 term copy
+    # + the (n_hi, chunk) hmask all scale with chunk·n_hi — beyond the bench
+    # shape (~95 MB at c=3, n_hi≈1063, chunk=4096) a larger segment space
+    # would blow the 100 MB limit and risk a pathological Mosaic compile.
+    # Shrink chunk to keep those buffers at/below the proven footprint
+    # (lane-aligned, floor 512; more grid steps, same math).
+    per_col = n_hi * (6 * c + 4)
+    chunk = min(chunk, max(512, (96 * 1024 * 1024 // per_col) // 128 * 128))
     npad = -(-n // chunk) * chunk
     if npad != n:
         vals = jnp.pad(vals, ((0, 0), (0, 0), (0, npad - n)))
@@ -1662,29 +1670,36 @@ def rasterize_points_pallas(
     return out
 
 
-def _tile_cfg8(tile_config):
-    """Normalize a tile_config to 9 entries: (tile, cap, chunk, max_tiles,
-    max_tiles_bwd, pair_cap_fwd, pair_cap_bwd, mxu_quadric, tiled_io);
-    missing trailing entries (the plain 4-tuples used by tests and older
-    callers) default to -1 = auto.  mxu_quadric: >0 = MXU quadric, else the
-    elementwise q (the production default — the quadric measured slower on
-    v5e).  tiled_io: >0 = the view-batched lean entry exchanges images in
-    the kernels' native tiled layout (see rasterize_views_pallas_lean)."""
-    tc = tuple(tile_config)
-    return (tc + (-1,) * (10 - len(tc)))[:9]
+class TileCfg(NamedTuple):
+    """tile_config normalized to its full 10 entries; missing trailing
+    entries (the plain 4-tuples used by tests and older callers) default to
+    -1 = auto."""
+
+    tile: int
+    cap: int
+    chunk: int
+    max_tiles: int
+    max_tiles_bwd: int
+    pair_cap_fwd: int
+    pair_cap_bwd: int
+    # >0 = MXU quadric, else the elementwise q (the production default —
+    # the quadric measured slower on v5e).
+    mxu_quadric: int
+    # >0 = the view-batched lean entry exchanges images in the kernels'
+    # native tiled layout (see rasterize_views_pallas_lean).
+    tiled_io: int
+    # >0 = per-point gradient/visibility scatters run as MXU one-hot
+    # matmuls (segment_sum_views_matmul) instead of sort+cumsum.
+    matmul_scatter: int
 
 
-def _cfg_matmul_scatter(tile_config) -> bool:
-    """10th tile_config entry: >0 = per-point gradient/visibility scatters
-    run as MXU one-hot matmuls (segment_sum_views_matmul) instead of
-    sort+cumsum segment sums."""
+def _tile_cfg(tile_config) -> TileCfg:
     tc = tuple(tile_config)
-    tc = tc + (-1,) * (10 - len(tc))
-    return tc[9] > 0
+    return TileCfg(*(tc + (-1,) * (10 - len(tc)))[:10])
 
 
 def _bwd_tile_budget(tile_config, p=None):
-    t, cap, chunk, mt, mt_bwd, _pcf, pcb, _mxq, _tio = _tile_cfg8(tile_config)
+    t, cap, chunk, mt, mt_bwd, _pcf, pcb = _tile_cfg(tile_config)[:7]
     # Support AABB side = 2·(radius + scaled-median) px: ~70 px at the
     # initial scaler, spanning ≤ 3 tiles of 64 — a 4-tile budget covers it
     # with margin (36-slot budgets doubled the pair-sort cost at 100k pts).
@@ -1707,7 +1722,7 @@ def _bwd_tile_budget(tile_config, p=None):
 def _rasterize_with_bwd_table(image_size, points_per_pixel, tile_config,
                               pts_screen, ellipse_params, cutoff, radii,
                               dmt, radii_backward_scaler, scaler, features):
-    t, cap, chunk, mt, _mtb, pcf, _pcb, mxq, _tio = _tile_cfg8(tile_config)
+    t, cap, chunk, mt, _mtb, pcf, _pcb, mxq = _tile_cfg(tile_config)[:8]
     p = pts_screen.shape[0]
     (idx, zbuf, qv, occ, frag_scaler, visible, rgbw, fwd_overflow,
      binned_fwd) = rasterize_forward_pallas(
@@ -1751,7 +1766,7 @@ def _pallas_bwd(image_size, points_per_pixel, tile_config, residuals, grads):
      _grad_of) = grads
     p = pts_screen.shape[0]
     t, cap, chunk = tile_config[:3]
-    mxq = _tile_cfg8(tile_config)[7]
+    mxq = _tile_cfg(tile_config).mxu_quadric
     bt, bcap, _, _, _ = _bwd_tile_budget(tile_config, p)
 
     grad_xy = occ_backward_from_binned(
@@ -1828,7 +1843,7 @@ def rasterize_points_pallas_lean(
 def _rasterize_lean_with_tables(image_size, points_per_pixel, tile_config,
                                 pts_screen, ellipse_params, cutoff, radii,
                                 dmt, radii_backward_scaler, scaler, features):
-    t, cap, chunk, mt, _mtb, pcf, _pcb, mxq, _tio = _tile_cfg8(tile_config)
+    t, cap, chunk, mt, _mtb, pcf, _pcb, mxq = _tile_cfg(tile_config)[:8]
     p = pts_screen.shape[0]
     occ, visible, rgbw, fwd_overflow, binned_fwd = (
         rasterize_forward_pallas_lean(
@@ -1866,7 +1881,7 @@ def _pallas_lean_bwd(image_size, points_per_pixel, tile_config, residuals,
     (grad_occ, _grad_vis, grad_rgbw, _grad_of) = grads
     p = pts_screen.shape[0]
     t, cap, chunk = tile_config[:3]
-    mxq = _tile_cfg8(tile_config)[7]
+    mxq = _tile_cfg(tile_config).mxu_quadric
     bt, bcap, _, _, _ = _bwd_tile_budget(tile_config, p)
 
     grad_xy = occ_backward_from_binned(
@@ -1975,8 +1990,8 @@ def rasterize_views_pallas_lean(
 def _views_lean_fwd_impl(image_size, points_per_pixel, tile_config,
                          pts_screen, ellipse_params, cutoff, radii,
                          dmt, radii_backward_scaler, scaler, features):
-    t, cap, chunk, mt, _mtb, pcf, _pcb, mxq, tio = _tile_cfg8(tile_config)
-    mms = _cfg_matmul_scatter(tile_config)
+    t, cap, chunk, mt, _mtb, pcf, _pcb, mxq, tio, mmsv = _tile_cfg(tile_config)
+    mms = mmsv > 0
     p = pts_screen.shape[1]
     occ, visible, rgbw, fwd_overflow, binned_fwd = (
         rasterize_forward_views_lean(
@@ -2019,8 +2034,8 @@ def _views_lean_bwd(image_size, points_per_pixel, tile_config, residuals,
     (grad_occ, _grad_vis, grad_rgbw, _grad_of) = grads
     v, p = pts_screen.shape[:2]
     t, cap, chunk = tile_config[:3]
-    mxq, tio = _tile_cfg8(tile_config)[7:9]
-    mms = _cfg_matmul_scatter(tile_config)
+    mxq, tio, mmsv = _tile_cfg(tile_config)[7:10]
+    mms = mmsv > 0
     bt, bcap, _, _, _ = _bwd_tile_budget(tile_config, p)
     # tiled cotangents arrive in forward-tile order; the occ-backward table
     # uses the same tile size (only capacity/replication budgets differ)

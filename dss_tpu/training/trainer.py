@@ -159,6 +159,12 @@ def make_loss_fn(
         sett = settings.replace(
             radii_backward_scaler=schedule.backward_radii(it)
         )
+        if settings.tiled_io and mask_plain is None:
+            raise ValueError(
+                "settings.tiled_io needs mask_plain (the untiled (V, S, S) "
+                "mask) for in-mask point sampling — without it the inmask "
+                "filter would silently freeze at its previous value"
+            )
         sample_mask = mask_plain if settings.tiled_io else mask_img
         out, new_filters = point_model_forward(
             params, filters, cameras, lights, sett, mask_img=sample_mask
