@@ -17,9 +17,12 @@ camera produces — so the goldens pin the EWA math given an identical
 projection, which is the right contract (the camera convention itself is
 pinned by the render goldens).
 
-Outputs per Vrk mode (invariant / isotropic): radii, ellipse_params, cutoff,
-scaler — all frame-invariant (Vrk = h·SkᵀSk = h·(I−nnᵀ) and |det(Sk·WJk)| do
-not depend on the reference's random tangent frame, rasterizer.py:337-341).
+Outputs per Vrk mode (invariant / isotropic / anisotropic): radii,
+ellipse_params, cutoff, scaler — all frame-invariant (Vrk = h·SkᵀSk =
+h·(I−nnᵀ) and |det(Sk·WJk)| do not depend on the reference's random tangent
+frame, rasterizer.py:337-341; the anisotropic Vr = T·diag(λ)·Tᵀ and |detMk|
+are likewise invariant to the eigenvector signs that differ between
+torch.linalg.svd and jnp.linalg.eigh).
 
 Run: python scripts/gen_ewa_goldens.py   (CPU-only, a few seconds).
 Writes tests/golden/reference_ewa_teapot.npz; pinned by
@@ -46,14 +49,39 @@ OUT = os.path.join(REPO, "tests", "golden", "reference_ewa_teapot.npz")
 
 
 def _install_stubs():
+    import collections
+
     import torch
 
-    def knn_points(p1, p2, lengths1=None, lengths2=None, K=1, **kw):
+    # Field names follow pytorch3d's KNN result; a namedtuple keeps the
+    # 3-tuple unpacking used by the isotropic path AND the `.knn` attribute
+    # access used by estimate_pointcloud_local_coord_frames
+    # (mathHelper.py:69-77, the anisotropic path).
+    _KNNResult = collections.namedtuple("_KNNResult", ["dists", "idx", "knn"])
+
+    def knn_points(p1, p2, lengths1=None, lengths2=None, K=1,
+                   return_nn=False, **kw):
         # (N, P, 3) brute-force exact kNN, ascending — the semantics the
         # reference relies on (self at distance 0 first, rasterizer.py:317).
         d2 = torch.cdist(p1, p2) ** 2
         dists, idx = torch.topk(d2, K, dim=-1, largest=False, sorted=True)
-        return dists, idx, None
+        nn = None
+        if return_nn:
+            assert p2.shape[0] == 1, "golden harness is single-cloud"
+            nn = p2[0][idx[0]][None]  # (1, P, K, 3)
+        return _KNNResult(dists, idx, nn)
+
+    def batch_svd(x):
+        # torch-batch-svd contract: U, S (descending), V with A = U S Vᵀ —
+        # exactly torch.linalg.svd with Vh transposed (mathHelper.py:84).
+        u, s, vh = torch.linalg.svd(x, full_matrices=False)
+        return u, s, vh.transpose(-2, -1)
+
+    def convert_pointclouds_to_tensor(pcl):
+        if torch.is_tensor(pcl):
+            n = torch.full((pcl.shape[0],), pcl.shape[1], dtype=torch.int64)
+            return pcl, n
+        return pcl.points_padded(), pcl.num_points_per_cloud()
 
     def padded_to_packed(x, first_idx, total):
         assert x.shape[0] == 1, "golden harness is single-cloud"
@@ -89,10 +117,13 @@ def _install_stubs():
         knn_gather=_Anything(),
         padded_to_packed=padded_to_packed,
         eyes=eyes,
-        convert_pointclouds_to_tensor=_Anything(),
+        convert_pointclouds_to_tensor=convert_pointclouds_to_tensor,
         is_pointclouds=lambda x: False,
     )
-    mod("pytorch3d.ops.utils", convert_pointclouds_to_tensor=_Anything())
+    mod(
+        "pytorch3d.ops.utils",
+        convert_pointclouds_to_tensor=convert_pointclouds_to_tensor,
+    )
     mod("pytorch3d.ops.points_normals", _disambiguate_vector_directions=_Anything())
     mod("pytorch3d.ops.knn", _KNN=_Anything)
     p3d.ops = ops
@@ -125,7 +156,7 @@ def _install_stubs():
     mod("pytorch3d.renderer.points")
     mod("pytorch3d.renderer.points.rasterize_points", kMaxPointsPerBin=22)
     mod("frnn", frnn_grid_points=_Anything(), frnn_gather=_Anything(), _C=None)
-    mod("torch_batch_svd", svd=_Anything())
+    mod("torch_batch_svd", svd=batch_svd)
     mod("trimesh")
     skimage = mod("skimage")
     skimage.measure = mod("skimage.measure", marching_cubes=_Anything())
@@ -282,6 +313,11 @@ def main():
     for name, (inv, iso) in {
         "invariant": (True, False),
         "isotropic": (False, True),
+        # Vrk_invariant=False, Vrk_isotropic=False → _compute_anisotropic_Vrk
+        # (rasterizer.py:256-291), the reference default.yaml default: local
+        # PCA frames from batch-SVD of K=8 neighborhoods; the batch_svd stub
+        # is torch.linalg.svd (exact), so this pins the third Vrk mode too.
+        "anisotropic": (False, False),
     }.items():
         info = run_reference_ewa(ref_rast, inputs, inv, iso)
         for k, v in info.items():

@@ -60,8 +60,10 @@ def test_projection_matrix_matches_golden_inputs(golden, scene):
     )
 
 
-@pytest.mark.parametrize("mode", ["invariant", "isotropic"])
+@pytest.mark.parametrize("mode", ["invariant", "isotropic", "anisotropic"])
 def test_ewa_matches_reference(golden, scene, mode):
+    if f"{mode}_radii" not in golden:
+        pytest.skip(f"golden lacks {mode} mode — rerun scripts/gen_ewa_goldens.py")
     cam, pts, normals, mask = scene
     settings = RasterSettings(
         image_size=int(golden["image_size"]),
@@ -94,8 +96,11 @@ def test_ewa_matches_reference(golden, scene, mode):
         np.asarray(splats.radii), ref_radii, rtol=5e-4, atol=1e-8,
         err_msg=f"{mode} radii deviate",
     )
+    # anisotropic: torch.linalg.svd vs jnp.linalg.eigh disagree at fp level
+    # on near-degenerate K=8 neighborhoods (measured 1/7991 points at 4.2e-3)
+    scaler_rtol = 6e-3 if mode == "anisotropic" else 2e-3
     np.testing.assert_allclose(
-        np.asarray(splats.scaler), ref_scaler, rtol=2e-3, atol=1e-5,
+        np.asarray(splats.scaler), ref_scaler, rtol=scaler_rtol, atol=1e-5,
         err_msg=f"{mode} scaler deviates",
     )
     np.testing.assert_allclose(
