@@ -1,7 +1,10 @@
 """Render a GT-vs-prediction comparison + metrics for a trained yoga6 model.
 
-Usage: python scripts/make_result_report.py [--out docs] [--platform cpu]
-Reads exp/dss_proj/model.npz and /tmp/yoga6_data.
+Usage: python scripts/make_result_report.py [--ckpt exp/.../model.npz]
+           [--out docs] [--platform cpu] [--recipe "dss.yml -> ..."]
+Reads the checkpoint and /tmp/yoga6_data; writes docs/yoga6_gt_vs_pred.png
+and docs/yoga6_metrics.json (chamfer / hausdorff / p2f / chamfer_normal /
+psnr / iou over the sample views).
 """
 import argparse
 import json
@@ -16,9 +19,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="docs")
-    ap.add_argument("--ckpt-dir", default="exp/dss_proj")
+    ap.add_argument("--ckpt", default=None, help="checkpoint npz file")
+    ap.add_argument("--ckpt-dir", default="exp/dss_proj",
+                    help="fallback: directory holding model.npz")
     ap.add_argument("--data", default="/tmp/yoga6_data")
     ap.add_argument("--views", type=int, nargs="+", default=[0, 5, 11, 17])
+    ap.add_argument("--recipe", default=None, help="recipe string for the report")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -33,8 +39,13 @@ def main():
     from dss_tpu.data.dataset import MVRDataset
     from dss_tpu.models.point_model import render_model
     from dss_tpu.training.checkpoint import CheckpointIO
+    from dss_tpu.training.losses import iou_loss
     from dss_tpu.training.metrics import chamfer_hausdorff, point_to_surface
-    from dss_tpu.training.trainer import create_train_state
+    from dss_tpu.training.trainer import (
+        chamfer_distance,
+        create_train_state,
+        psnr,
+    )
     from dss_tpu.utils.visualize import save_image_grid
 
     cfg = config_mod.load_config("configs/dss.yml")
@@ -43,7 +54,11 @@ def main():
     settings = config_mod.create_raster_settings(cfg)
     optimizer = config_mod.create_optimizer(cfg, learn)
     state = create_train_state(params, optimizer)
-    state, scalars = CheckpointIO(args.ckpt_dir).load("model.npz", state)
+    if args.ckpt:
+        ckpt_dir, ckpt_file = os.path.split(args.ckpt)
+    else:
+        ckpt_dir, ckpt_file = args.ckpt_dir, "model.npz"
+    state, scalars = CheckpointIO(ckpt_dir).load(ckpt_file, state)
     it = int(scalars.get("it", -1))
     print("loaded checkpoint at it", it)
 
@@ -64,7 +79,7 @@ def main():
     )
 
     gt = jnp.asarray(ds.points)
-    gtn = jnp.asarray(ds.normals)
+    gtn = None if ds.normals is None else jnp.asarray(ds.normals)
     active = state.filters.activation
     m = chamfer_hausdorff(state.params.points, gt, pred_mask=active)
     p2f = point_to_surface(state.params.points, gt, gtn, pred_mask=active)
@@ -74,6 +89,20 @@ def main():
         "hausdorff": float(m["hausdorff"]),
         "p2f": float(p2f),
     }
+    if args.recipe:
+        report["recipe"] = args.recipe
+    if gtn is not None:
+        _, cn = chamfer_distance(
+            gt, state.params.points, gtn, state.params.normals, y_mask=active
+        )
+        report["chamfer_normal"] = float(cn)
+    pred_mask_img = rgba[..., 3]
+    report["psnr_%dviews" % len(args.views)] = float(
+        psnr(jnp.asarray(rgba[..., :3] * rgba[..., 3:4]), jnp.asarray(img))
+    )
+    report["iou_loss_%dviews" % len(args.views)] = float(
+        iou_loss(jnp.asarray(pred_mask_img), jnp.asarray(msk))
+    )
     with open(os.path.join(args.out, "yoga6_metrics.json"), "w") as f:
         json.dump(report, f, indent=1)
     print(report)

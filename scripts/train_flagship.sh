@@ -41,4 +41,5 @@ mkdir -p exp/dss_refine2
 cp exp/dss_hires/model_best.npz exp/dss_refine2/model.npz
 python train_mvr.py --config configs/dss_refine2.yml --max-iters 18000
 python -m dss_tpu.apps.refine_normals --ckpt exp/dss_refine2/model.npz --data "$DATA"
-echo "final model: exp/dss_refine2/model_jet.npz (+ model_jet.ply)"
+python -m dss_tpu.apps.prune_floaters --ckpt exp/dss_refine2/model_jet.npz --data "$DATA"
+echo "final model: exp/dss_refine2/model_jet_pruned.npz (+ model_jet_pruned.ply)"

@@ -369,3 +369,40 @@ def test_prune_dead_points():
     # with only 2 views, back-facing-everywhere points are legitimately dead
     assert float(active[:200].mean()) > 0.45
     assert not bool(active[200:].any())
+
+
+def test_prune_outside_silhouette():
+    """Floaters off the surface project outside the object mask in many
+    views and are pruned; every true surface point survives (it projects
+    inside the silhouette in all views, GT-free hull consistency)."""
+    from dss_tpu.models.point_model import (
+        prune_outside_silhouette,
+        render_model,
+    )
+
+    pts = jnp.asarray(fibonacci_sphere(400, 0.5))
+    normals = pts / jnp.maximum(jnp.linalg.norm(pts, axis=-1, keepdims=True), 1e-9)
+    r, t = look_at_view_transform(
+        dist=jnp.full((8,), 2.0),
+        elev=jnp.asarray([0.0, 20.0, -20.0, 40.0, 0.0, 15.0, -30.0, 10.0]),
+        azim=jnp.asarray([0.0, 45.0, 90.0, 135.0, 180.0, 225.0, 270.0, 315.0]),
+    )
+    cams = FoVPerspectiveCameras.create(r, t, fov=60.0)
+    settings = RasterSettings(image_size=48, points_per_pixel=3)
+    masks = render_model(
+        PointModelParams.create(pts, normals),
+        PointFilters.ones(400),
+        cams,
+        None,
+        settings,
+    )[..., 3]
+
+    # floaters at 1.4-2x the radius — off-surface but still near the object,
+    # like the yoga6 stragglers the criterion was measured on
+    floaters = jnp.asarray(
+        [[0.9, 0.0, 0.0], [0.0, -0.75, 0.3], [-0.5, 0.6, -0.4]]
+    )
+    allpts = jnp.concatenate([pts, floaters])
+    keep = prune_outside_silhouette(allpts, cams, masks, outside_frac=0.2)
+    assert bool(keep[:400].all()), "true surface points must survive"
+    assert not bool(keep[400:].any()), "floaters must be pruned"
