@@ -131,6 +131,25 @@ class FoVPerspectiveCameras:
         """(N, 3) camera centers in world space: -T @ R^T."""
         return -jnp.einsum("nj,nij->ni", self.T, self.R)
 
+    def unproject_ndc_depth(
+        self, ndc_xy: jnp.ndarray, depth: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Inverse of transform_points_screen: (N, P, 2) NDC xy + (N, P)
+        view-space depth -> (N, P, 3) world points.
+
+        From the projection (projection_matrix docstring): ndc_x = s1·x/z,
+        ndc_y = s2·y/z, so x_view = ndc_x·z/s1 etc.; then the rigid inverse
+        x_world = (x_view - T) @ Rᵀ."""
+        tanhalf = jnp.tan(jnp.deg2rad(self.fov) / 2.0)
+        s1 = 1.0 / (self.aspect_ratio * tanhalf)
+        s2 = 1.0 / tanhalf
+        x = ndc_xy[..., 0] * depth / s1[:, None]
+        y = ndc_xy[..., 1] * depth / s2[:, None]
+        view = jnp.stack([x, y, depth], axis=-1)
+        return jnp.einsum(
+            "npj,nij->npi", view - self.T[:, None, :], self.R
+        )
+
 
 # ---- look-at construction ------------------------------------------------
 

@@ -31,11 +31,37 @@ echo "=== 4. E18: depth-L1 supervision smoke (fragment path, 600 iters) ==="
 timeout 3600 python train_mvr.py --config configs/exp_e18_depth.yml \
   --max-iters 600 2>&1 | tail -4 | tee /tmp/r4q/e18_smoke.txt
 
-echo "=== 5. E17: extend the shading normals-refine, then jet-refine ==="
+echo "=== 5. E19: coverage-reseed settle (Hausdorff gt->pred tail) ==="
+# the reseeded checkpoint is precomputed on CPU (apps/reseed_coverage);
+# regenerate here only if missing
+if [ ! -f exp/dss_e19_reseed/model.npz ]; then
+  mkdir -p exp/dss_e19_reseed
+  timeout 3600 python -m dss_tpu.apps.reseed_coverage \
+    --ckpt exp/dss_e15c_refine/model_jet_pruned.npz --data /tmp/yoga6_data \
+    --out exp/dss_e19_reseed/model.npz --platform cpu 2>&1 | tail -4
+fi
+timeout 5400 python train_mvr.py --config configs/exp_e19_reseed.yml \
+  --max-iters 15500 2>&1 | tail -3 | tee /tmp/r4q/e19_train.txt
+timeout 1200 python -m dss_tpu.apps.refine_normals \
+  --ckpt exp/dss_e19_reseed/model_best.npz --data /tmp/yoga6_data --platform cpu \
+  2>&1 | tail -3 | tee /tmp/r4q/e19_jet.txt
+timeout 1200 python -m dss_tpu.apps.prune_floaters \
+  --ckpt exp/dss_e19_reseed/model_best_jet.npz --data /tmp/yoga6_data \
+  --platform cpu 2>&1 | tail -4 | tee /tmp/r4q/e19_prune.txt
+
+echo "=== 6. E17: extend the shading normals-refine, then jet-refine ==="
 timeout 7200 python train_mvr.py --config configs/exp_e15c_refine.yml \
   --max-iters 16000 2>&1 | tail -3 | tee /tmp/r4q/e17_train.txt
 timeout 1200 python -m dss_tpu.apps.refine_normals \
   --ckpt exp/dss_e15c_refine/model.npz --data /tmp/yoga6_data --platform cpu \
   2>&1 | tail -3 | tee /tmp/r4q/e17.txt
+
+echo "=== 7. E20: 10k point budget from phase 1 ==="
+timeout 7200 python train_mvr.py --config configs/exp_e20_budget10k.yml \
+  --max-iters 6000 2>&1 | tail -3 | tee /tmp/r4q/e20_p1.txt
+mkdir -p exp/dss_e20_10k_fine
+cp exp/dss_e20_10k/model_best.npz exp/dss_e20_10k_fine/model.npz
+timeout 10800 python train_mvr.py --config configs/exp_e20_budget10k_fine.yml \
+  --max-iters 15000 2>&1 | tail -3 | tee /tmp/r4q/e20_fine.txt
 
 echo "=== queue done ==="

@@ -406,3 +406,125 @@ def test_prune_outside_silhouette():
     keep = prune_outside_silhouette(allpts, cams, masks, outside_frac=0.2)
     assert bool(keep[:400].all()), "true surface points must survive"
     assert not bool(keep[400:].any()), "floaters must be pruned"
+
+
+def test_reseed_coverage_fills_hole():
+    """Delete a cap of a sphere; masks rendered from the FULL sphere leave a
+    silhouette deficit there.  Reseeding must propose points near the hole
+    (GT-free hull carving) and shrink the gt->pred Hausdorff."""
+    from dss_tpu.models.point_model import render_model
+    from dss_tpu.models.reseed import reseed_coverage
+    from dss_tpu.training.metrics import chamfer_hausdorff
+
+    full = jnp.asarray(fibonacci_sphere(600, 0.5))
+    normals = full / jnp.maximum(
+        jnp.linalg.norm(full, axis=-1, keepdims=True), 1e-9
+    )
+    r, t = look_at_view_transform(
+        dist=jnp.full((8,), 2.0),
+        elev=jnp.asarray([0.0, 20.0, -20.0, 40.0, 0.0, 15.0, -30.0, 10.0]),
+        azim=jnp.asarray([0.0, 45.0, 90.0, 135.0, 180.0, 225.0, 270.0, 315.0]),
+    )
+    cams = FoVPerspectiveCameras.create(r, t, fov=60.0)
+    settings = RasterSettings(image_size=64, points_per_pixel=3)
+
+    def alpha(pts):
+        n = pts / jnp.maximum(jnp.linalg.norm(pts, -1, keepdims=True), 1e-9)
+        return render_model(
+            PointModelParams.create(pts, n),
+            PointFilters.ones(pts.shape[0]),
+            cams,
+            None,
+            settings,
+        )[..., 3]
+
+    gt_masks = alpha(full)
+    # hole: delete the +x cap (visible edge-on from several of the views)
+    keep = np.asarray(full[:, 0] < 0.35)
+    holed = full[jnp.asarray(keep)]
+    pred_alpha = alpha(holed)
+
+    new_pts, near_idx = reseed_coverage(
+        holed,
+        jnp.ones((holed.shape[0],), bool),
+        cams,
+        gt_masks,
+        pred_alpha,
+        n_new=64,
+        hull_outside_frac=0.2,
+    )
+    assert new_pts.shape[0] >= 8, f"only {new_pts.shape[0]} proposals"
+    assert near_idx.shape == (new_pts.shape[0],)
+    # proposals concentrate toward the missing cap (+x hemisphere)
+    assert float(np.mean(new_pts[:, 0] > 0.0)) > 0.7
+    # and they reduce the coverage tail vs the full GT sphere
+    before = chamfer_hausdorff(holed, full)
+    allp = jnp.concatenate([holed, jnp.asarray(new_pts)])
+    after = chamfer_hausdorff(allp, full)
+    assert float(after["hausdorff"]) < float(before["hausdorff"]) * 0.8, (
+        float(before["hausdorff"]),
+        float(after["hausdorff"]),
+    )
+
+
+def test_reseed_coverage_depth_guided():
+    """Occluded-hole case the silhouette cannot see: delete a cap but view
+    it head-on so the sphere's BACK surface still covers every ray (alpha
+    stays on).  With GT depth maps, depth deficit (render's front surface
+    far behind GT depth) finds it and proposals land ON the missing cap."""
+    from dss_tpu.geometry.pointclouds import PointFilters as PF
+    from dss_tpu.models.point_model import point_model_forward
+    from dss_tpu.models.reseed import reseed_coverage
+
+    full = jnp.asarray(fibonacci_sphere(800, 0.5))
+    normals = full / jnp.maximum(
+        jnp.linalg.norm(full, axis=-1, keepdims=True), 1e-9
+    )
+    # all 4 views look from the +x side: the -x half silhouette never shows
+    r, t = look_at_view_transform(
+        dist=jnp.full((4,), 2.0),
+        elev=jnp.asarray([0.0, 15.0, -15.0, 5.0]),
+        azim=jnp.asarray([75.0, 90.0, 105.0, 90.0]),
+    )
+    cams = FoVPerspectiveCameras.create(r, t, fov=60.0)
+    settings = RasterSettings(
+        image_size=64, points_per_pixel=5, lean_fragments=False
+    )
+
+    def render(pts):
+        n = pts / jnp.maximum(jnp.linalg.norm(pts, -1, keepdims=True), 1e-9)
+        out, _ = point_model_forward(
+            PointModelParams.create(pts, n),
+            PF.ones(pts.shape[0]),
+            cams,
+            None,
+            settings,
+        )
+        alpha = out["mask_img_pred"]
+        depth = jnp.where(alpha > 0.5, out["depth_pred"], cams.zfar[0])
+        return alpha, depth
+
+    gt_alpha, gt_depth = render(full)
+    keep = np.asarray(full[:, 0] < 0.35)  # delete the +x cap (facing cams)
+    holed = full[jnp.asarray(keep)]
+    pred_alpha, pred_depth = render(holed)
+
+    # silhouette-only finds (almost) nothing: the back surface covers rays
+    sil_pts, _ = reseed_coverage(
+        holed, jnp.ones((holed.shape[0],), bool), cams, gt_alpha, pred_alpha,
+        n_new=64, hull_outside_frac=0.3,
+    )
+    # depth-guided finds the cap
+    new_pts, near_idx = reseed_coverage(
+        holed, jnp.ones((holed.shape[0],), bool), cams, gt_alpha, pred_alpha,
+        n_new=64, hull_outside_frac=0.3,
+        gt_depths=gt_depth, pred_depths=pred_depth, depth_tol=0.1,
+    )
+    assert new_pts.shape[0] >= 8, (
+        f"depth-guided proposals: {new_pts.shape[0]} (sil-only found "
+        f"{sil_pts.shape[0]})"
+    )
+    # proposals sit on the missing cap: +x side, near the sphere surface
+    assert float(np.mean(new_pts[:, 0] > 0.3)) > 0.8, new_pts[:, 0]
+    radii = np.linalg.norm(new_pts, axis=-1)
+    assert float(np.mean(np.abs(radii - 0.5) < 0.1)) > 0.8, radii
