@@ -250,6 +250,8 @@ def create_train_config(cfg: dict):
         lambda_proj=float(t.get("lambda_dr_proj", 0.0)),
         lambda_repel=float(t.get("lambda_dr_repel", 0.0)),
         lambda_normal=float(t.get("lambda_dr_normal", 0.0)),
+        normal_anchor=str(t.get("normal_anchor", "pca")),
+        normal_anchor_k=int(t.get("normal_anchor_k", 8)),
         lambda_depth=float(t.get("lambda_dr_depth", 0.0)),
         knn_k=int(t.get("knn_k", 12)),
         filter_scale=float(t.get("filter_scale", 2.0)),

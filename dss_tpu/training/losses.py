@@ -181,23 +181,43 @@ def normal_consistency_loss(
     normals: jnp.ndarray,
     mask: jnp.ndarray,
     neighborhood_size: int = 8,
+    anchor: str = "pca",
 ) -> jnp.ndarray:
-    """Pull the LEARNED normal field toward the PCA normal of the current
-    cloud: mean(1 − cos(n̂, stopgrad(sign-aligned PCA normal))).
+    """Pull the LEARNED normal field toward a geometric normal estimate of
+    the current cloud: mean(1 − cos(n̂, stopgrad(sign-aligned estimate))).
 
     In the reference, normals only receive gradients through shading; the
     surface losses detach their denoised normals (losses.py:182-220 under
     no_grad), which leaves the learned field noisy (observed
     chamfer_normal ≈ 0.68 on the flagship).  This regularizer anchors the
     field to the geometry without changing the surface-loss semantics; the
-    PCA target's sign is taken from the learned normal, so shading keeps
-    owning the orientation."""
-    from dss_tpu.geometry.normals import estimate_normals
+    target's sign is taken from the learned normal, so shading keeps
+    owning the orientation.
+
+    anchor="pca": plane-PCA estimate (k=neighborhood_size).  Measured E1:
+    no headroom on a NOISY cloud (PCA of the early cloud scores worse than
+    the learned field).
+    anchor="jet": weighted osculating-jet fit + bilateral (the in-training
+    version of apps/refine_normals, VERDICT r3 ask #4) — on a CONVERGED
+    cloud the jet field scores 0.24 vs the shading plateau 0.36, so the
+    anchor has real headroom where PCA has none.  Oriented by the learned
+    field each step."""
+    from dss_tpu.geometry.normals import estimate_normals, refine_normals
 
     n = normalize(normals)
-    target = jax.lax.stop_gradient(
-        normalize(estimate_normals(points, mask, neighborhood_size))
-    )
+    if anchor == "jet":
+        target = jax.lax.stop_gradient(
+            refine_normals(
+                jax.lax.stop_gradient(points),
+                jax.lax.stop_gradient(n),
+                mask,
+                neighborhood_size=max(neighborhood_size, 16),
+            )
+        )
+    else:
+        target = jax.lax.stop_gradient(
+            normalize(estimate_normals(points, mask, neighborhood_size))
+        )
     sign = jnp.where(
         jnp.sum(jax.lax.stop_gradient(n) * target, -1, keepdims=True) < 0,
         -1.0,

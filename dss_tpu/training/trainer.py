@@ -81,9 +81,14 @@ class TrainConfig(NamedTuple):
     # depth term).  Requires settings.lean_fragments=False so fragments carry
     # zbuf; exercises the _zbuf_backward z-gradient path in training.
     lambda_depth: float = 0.0
-    # Anchors learned normals to the cloud's PCA normals (the reference only
-    # trains normals through shading; see losses.normal_consistency_loss).
+    # Anchors learned normals to a geometric estimate of the current cloud
+    # (the reference only trains normals through shading; see
+    # losses.normal_consistency_loss).  normal_anchor: "pca" (plane fit) or
+    # "jet" (osculating-jet fit, the in-training version of
+    # apps/refine_normals — headroom on converged clouds where PCA has none).
     lambda_normal: float = 0.0
+    normal_anchor: str = "pca"
+    normal_anchor_k: int = 8
     knn_k: int = 12
     filter_scale: float = 2.0
     sharpness_sigma: float = 0.75
@@ -247,6 +252,8 @@ def make_loss_fn(
                     params.points,
                     params.normals,
                     filters.activation,
+                    neighborhood_size=cfg.normal_anchor_k,
+                    anchor=cfg.normal_anchor,
                 )
                 * cfg.lambda_normal
             )

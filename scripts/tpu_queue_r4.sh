@@ -56,6 +56,12 @@ timeout 1200 python -m dss_tpu.apps.refine_normals \
   --ckpt exp/dss_e15c_refine/model.npz --data /tmp/yoga6_data --platform cpu \
   2>&1 | tail -3 | tee /tmp/r4q/e17.txt
 
+echo "=== 6b. E21: jet-anchored normal refine (trained field < 0.3 target) ==="
+mkdir -p exp/dss_e21_jetanchor
+cp exp/dss_e15c_refine/model.npz exp/dss_e21_jetanchor/model.npz
+timeout 7200 python train_mvr.py --config configs/exp_e21_jetanchor.yml \
+  --max-iters 16000 2>&1 | tail -3 | tee /tmp/r4q/e21_train.txt
+
 echo "=== 7. E20: 10k point budget from phase 1 ==="
 timeout 7200 python train_mvr.py --config configs/exp_e20_budget10k.yml \
   --max-iters 6000 2>&1 | tail -3 | tee /tmp/r4q/e20_p1.txt

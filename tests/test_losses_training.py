@@ -126,6 +126,51 @@ class TestSurfaceLosses:
         gp = jax.grad(lambda p: normal_consistency_loss(p, good, mask))(pts)
         np.testing.assert_allclose(gp, 0.0, atol=1e-6)
 
+    def test_normal_consistency_jet_anchor(self):
+        """anchor='jet' pulls a noisy field toward the jet-fit normals of
+        the geometry: optimizing ONLY this loss recovers GT normals on a
+        sphere with noisy points, and ends closer to GT than the PCA
+        anchor does (the in-training version of apps/refine_normals,
+        VERDICT r3 ask #4)."""
+        import optax
+
+        from dss_tpu.training.losses import normal_consistency_loss
+        from dss_tpu.utils.mathutil import normalize
+        from tests.test_render import fibonacci_sphere
+
+        rng = np.random.default_rng(1)
+        gt = jnp.asarray(fibonacci_sphere(600, 1.0))
+        pts = gt * (1.0 + 0.01 * rng.standard_normal((600, 1)).astype(np.float32))
+        mask = jnp.ones((600,), bool)
+        # noisy start: GT + strong tangential perturbation
+        noisy = normalize(
+            gt + 0.6 * jnp.asarray(rng.standard_normal((600, 3)), jnp.float32)
+        )
+
+        def train(anchor, k):
+            loss = jax.jit(
+                lambda n: normal_consistency_loss(
+                    pts, n, mask, neighborhood_size=k, anchor=anchor
+                )
+            )
+            opt = optax.adam(0.05)
+            n, st = noisy, opt.init(noisy)
+            for _ in range(60):
+                g = jax.grad(loss)(n)
+                up, st = opt.update(g, st)
+                n = n + up
+            return normalize(n)
+
+        def cos_gt(n):
+            return float(jnp.mean(jnp.abs(jnp.sum(n * gt, -1))))
+
+        start = cos_gt(noisy)
+        jet = cos_gt(train("jet", 32))
+        pca = cos_gt(train("pca", 32))
+        assert jet > 0.98, f"jet anchor did not recover normals: {jet}"
+        assert jet >= pca - 1e-3, (jet, pca)
+        assert jet > start + 0.1, (start, jet)
+
     def test_masked_points_ignored(self, flat_cloud):
         pts, normals, mask = flat_cloud
         # add garbage padding points, masked out
