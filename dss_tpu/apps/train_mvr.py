@@ -56,6 +56,17 @@ def main(argv=None):
                         help="every N iters deactivate dead points (zero "
                              "silhouette gradient over a view batch; "
                              "reference Model.prune_points)")
+    parser.add_argument("--reseed-every", type=int, default=-1,
+                        help="every N iters respawn floater/inactive points "
+                             "at silhouette-coverage deficits (GT-free hull "
+                             "carving, models.reseed) — closes the loop the "
+                             "reference's prune+repulsion machinery implies "
+                             "but never closes")
+    parser.add_argument("--reseed-max", type=int, default=64,
+                        help="max points respawned per reseed event")
+    parser.add_argument("--reseed-views", type=int, default=16,
+                        help="evenly spaced views rendered for deficit "
+                             "detection at each reseed event")
     parser.add_argument("--steps-per-dispatch", type=int, default=-1,
                         help="run N train steps per device dispatch (one "
                              "lax.scan program): amortizes the TPU-relay "
@@ -357,6 +368,94 @@ def main(argv=None):
                 )
                 logger.info("pruned to %d active points", n_active)
                 mlog.log(it, {"n_active_points": float(n_active)})
+
+            if crossed(args.reseed_every):
+                from dss_tpu.models.point_model import (
+                    PointModelParams,
+                    prune_outside_silhouette,
+                    render_model,
+                )
+                from dss_tpu.models.reseed import reseed_coverage
+
+                # checkpoint first: the reseed renders are separate programs
+                # whose first compile can exceed an --exit-after window
+                ckpt.save(resume_name, state, epoch_it=epoch, it=it,
+                          loss_val_best=metric_best)
+                # donors = floaters (outside the silhouette in >9% of views
+                # — geometrically wrong) first, then pruned-inactive slots
+                keep = np.asarray(prune_outside_silhouette(
+                    state.params.points, all_cams, jnp.asarray(dataset.masks)
+                ))
+                act = np.asarray(state.filters.activation).copy()
+                donors = np.concatenate([
+                    np.nonzero(act & ~keep)[0],
+                    np.nonzero(~act)[0],
+                ])
+                if donors.size == 0:
+                    logger.info("reseed: no donors (no floaters/inactive)")
+                else:
+                    vsel = np.unique(np.linspace(
+                        0, len(dataset) - 1,
+                        min(args.reseed_views, len(dataset)),
+                    ).round().astype(int))
+                    _, msk_v, cams_v, _lights_v = dataset.get_batch(vsel)
+                    rs_settings = settings.replace(tiled_io=False)
+                    alpha = render_model(
+                        state.params,
+                        state.filters.replace(
+                            activation=jnp.asarray(act & keep)
+                        ),
+                        cams_v, None, rs_settings,
+                    )[..., 3]
+                    proposals, near = reseed_coverage(
+                        state.params.points,
+                        jnp.asarray(act & keep),
+                        cams_v,
+                        jnp.asarray(msk_v),
+                        alpha,
+                        n_new=min(args.reseed_max, donors.size),
+                    )
+                    k_new = proposals.shape[0]
+                    if k_new == 0:
+                        logger.info("reseed: no coverage deficit found")
+                    else:
+                        donor_sel = donors[:k_new]
+                        p_total = state.params.points.shape[0]
+                        pts_np = np.asarray(state.params.points).copy()
+                        nrm_np = np.asarray(state.params.normals).copy()
+                        col_np = np.asarray(state.params.colors).copy()
+                        pts_np[donor_sel] = proposals
+                        nrm_np[donor_sel] = nrm_np[near]
+                        col_np[donor_sel] = col_np[near]
+
+                        def zero_donor_rows(x):
+                            a = np.asarray(x)
+                            if a.ndim >= 1 and a.shape[0] == p_total:
+                                a = a.copy()
+                                a[donor_sel] = 0
+                                return jnp.asarray(a)
+                            return x
+
+                        act[donor_sel] = True
+                        state = state.replace(
+                            params=PointModelParams(
+                                points=jnp.asarray(pts_np),
+                                normals=jnp.asarray(nrm_np),
+                                colors=jnp.asarray(col_np),
+                            ),
+                            opt_state=jax.tree_util.tree_map(
+                                zero_donor_rows, state.opt_state
+                            ),
+                            filters=state.filters.replace(
+                                activation=jnp.asarray(act)
+                            ),
+                        )
+                        logger.info(
+                            "reseeded %d points into coverage deficits "
+                            "(%d donor floaters/inactive available)",
+                            k_new, donors.size,
+                        )
+                        mlog.log(it, {"n_reseeded": float(k_new)})
 
             if crossed(visualize_every):
                 act = np.asarray(state.filters.activation)

@@ -318,6 +318,84 @@ class TestTrainCLIDispatch:
                 p1[key], p4[key], atol=1e-5, rtol=1e-5, err_msg=key
             )
 
+    def test_reseed_every_respawns_points(self, tiny_dataset, tmp_path):
+        """--reseed-every respawns floater/inactive points at coverage
+        deficits inside the train loop: point count stays static (jit
+        shapes), respawned rows move, their Adam moments reset, and the
+        run completes."""
+        import yaml
+
+        from dss_tpu.apps.train_mvr import main as train_main
+
+        root, _ = tiny_dataset
+        cfg = {
+            "name": "reseed_cli",
+            "data": {"data_dir": root, "type": "MVR"},
+            "model": {
+                "type": "point",
+                "model_kwargs": {
+                    "learn_colors": False,
+                    "learn_normals": True,
+                    "learn_points": True,
+                    "n_points_per_cloud": 120,
+                },
+            },
+            "renderer": {
+                "raster_params": {
+                    "image_size": 16,
+                    "points_per_pixel": 3,
+                    "cutoff_threshold": 1.0,
+                    "radii_backward_scaler": 10.0,
+                }
+            },
+            "training": {
+                "batch_size": 2,
+                "out_dir": str(tmp_path / "exp"),
+                "print_every": 100,
+                "validate_every": -1,
+                "visualize_every": -1,
+                "checkpoint_every": 100,
+            },
+        }
+        cfg_path = tmp_path / "reseed_cli.yml"
+        cfg_path.write_text(yaml.safe_dump(cfg))
+        # stage 1: a short run to materialize a checkpoint
+        train_main([
+            "--config", str(cfg_path), "--max-iters", "2",
+            "--platform", "cpu", "--seed", "0",
+        ])
+        ck_path = tmp_path / "exp" / "reseed_cli" / "model.npz"
+        ck = dict(np.load(ck_path))
+        # sabotage: relocate a whole spatial cap to a floater cluster —
+        # creates donors (floaters) AND a silhouette-coverage hole at once
+        pts = ck["params/points"].copy()
+        # most of the sphere: at 16 px even a large hole is otherwise
+        # covered by the neighbors' splat support
+        cap = pts[:, 0] > -0.2
+        assert cap.sum() >= 10, cap.sum()
+        pts[cap] = np.array([3.0, 3.0, 3.0], np.float32)
+        ck["params/points"] = pts
+        np.savez(ck_path, **ck)
+        # stage 2: resume; the reseed event must claim the floaters and
+        # respawn them at silhouette-coverage deficits
+        train_main([
+            "--config", str(cfg_path), "--max-iters", "6",
+            "--platform", "cpu", "--seed", "0",
+            "--reseed-every", "4", "--reseed-views", "4",
+            "--reseed-max", "16",
+        ])
+        ck2 = np.load(ck_path)
+        p2 = ck2["params/points"]
+        assert p2.shape == (120, 3)  # static point count (jit shapes)
+        # respawned rows left the floater cluster (not all may be claimed —
+        # reseed-max 16)
+        moved = np.linalg.norm(
+            p2[cap] - np.array([3.0, 3.0, 3.0]), axis=-1
+        )
+        assert (moved > 1.0).sum() >= 4, moved
+        mlog = (tmp_path / "exp" / "reseed_cli" / "metrics.jsonl").read_text()
+        assert "n_reseeded" in mlog, "reseed event never fired/logged"
+
 
 class TestRefineNormalsCLI:
     def test_checkpoint_roundtrip(self, tmp_path):
