@@ -87,12 +87,17 @@ def main(argv=None):
     mlog = MetricsLogger(out_dir)
 
     # Data ------------------------------------------------------------------
-    # Depth supervision needs the dense depth maps AND zbuf-carrying
-    # fragments — wire both from the single lambda_dr_depth knob.
+    # Depth supervision needs the dense depth maps AND a depth-carrying
+    # render path — wire both from the single lambda_dr_depth knob.  Default
+    # source: the lean weighted-depth channel (depth_channel, full kernel
+    # speed); set lean_fragments=False explicitly in the config to use the
+    # fragment zbuf instead.
     use_depth = float(cfg["training"].get("lambda_dr_depth", 0.0)) > 0
     if use_depth:
         cfg["data"]["load_dense_depth"] = True
-        cfg["renderer"]["raster_params"]["lean_fragments"] = False
+        rp = cfg["renderer"]["raster_params"]
+        if rp.get("lean_fragments", True):
+            rp.setdefault("depth_channel", True)
     dataset = config_mod.create_dataset(cfg)
     logger.info("dataset: %d views at %s", len(dataset), dataset.resolution)
 
@@ -147,6 +152,10 @@ def main(argv=None):
         all_mask_plain = all_mask
         all_img = tile_images(all_img, tile)
         all_mask = tile_images(all_mask, tile)
+        if all_depth is not None:
+            # depth targets ride the same tile order as the weighted-depth
+            # channel's predictions (depth_l1_loss is layout-agnostic)
+            all_depth = tile_images(all_depth, tile)
 
     @functools.partial(jax.jit, static_argnames="k")
     def train_steps_device(state, all_img, all_mask, all_depth, all_cams,

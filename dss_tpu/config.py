@@ -161,9 +161,14 @@ def create_raster_settings(cfg: dict):
         pair_cap_scale_bwd=float(rp.get("pair_cap_scale_bwd", -1.0)),
         mxu_quadric=bool(rp.get("mxu_quadric", False)),
         tiled_io=bool(rp.get("tiled_io", False)),
-        # False → full fragments (zbuf/idx/qvalue buffers): required for
-        # depth supervision (lambda_dr_depth) and debug renders
+        matmul_scatter=bool(rp.get("matmul_scatter", True)),
+        # False → full fragments (zbuf/idx/qvalue buffers): needed for debug
+        # renders or zbuf-based depth supervision (depth_channel is the lean
+        # alternative)
         lean_fragments=bool(rp.get("lean_fragments", True)),
+        # weighted-depth compositor channel — the lean-path source for
+        # lambda_dr_depth (train_mvr enables it automatically)
+        depth_channel=bool(rp.get("depth_channel", False)),
     )
 
 

@@ -160,13 +160,17 @@ def point_model_forward(
         # the pallas backend's "sanitizer" counter; 0 on the exact backend
         "bin_overflow": jax.lax.stop_gradient(jnp.sum(frags.overflow)),
     }
-    # Nearest-fragment view-space depth (V, S, S), -1 where uncovered — only
-    # materialized on zbuf-carrying paths (lean_fragments=False); gradients
-    # reach point z through _zbuf_backward (reference rasterize_points.cu
-    # z-grad path, 823-885).  The reference serves img.depth
-    # (dataset.py:71-75) but ships no depth loss; dss_tpu's optional
-    # lambda_depth term makes this a trained capability.
-    if frags.zbuf.shape[-1] > 0:
+    # Per-pixel view-space depth (V, S, S; tiled layout under tiled_io),
+    # -1 where uncovered.  Preferred source: the weighted-depth channel
+    # (settings.depth_channel — works on the lean hot path, z-grads to every
+    # contributing splat); fallback: nearest-fragment zbuf on fragment-
+    # carrying paths (lean_fragments=False), z-grads through _zbuf_backward
+    # (reference rasterize_points.cu z-grad path, 823-885).  The reference
+    # serves img.depth (dataset.py:71-75) but ships no depth loss; dss_tpu's
+    # optional lambda_depth term makes this a trained capability.
+    if frags.wdepth is not None:
+        out["depth_pred"] = frags.wdepth
+    elif frags.zbuf.shape[-1] > 0:
         out["depth_pred"] = frags.zbuf[..., 0]
     return out, new_filters
 

@@ -722,7 +722,7 @@ def _fwd_kernel_lean(
     dmt_ref,  # (1, 1) SMEM: depth merging threshold
     cnt_out,  # (1, G, 1, TT) accepted count (occupancy = cnt > 0)
     vis_out,  # (1, G, 1, M) per-candidate visibility flag
-    rgb_out,  # (1, G, 4, TT): weighted rgb sums + weight sum (fused composite)
+    rgb_out,  # (1, G, 4(+1), TT): weighted rgb sums + weight sum (+ Σw·z)
     *,
     tile_size: int,
     image_size: int,
@@ -732,6 +732,7 @@ def _fwd_kernel_lean(
     m: int,
     tiles_per_step: int,
     mxu_quadric: bool = False,
+    with_depth: bool = False,
 ):
     """Training-path variant of _fwd_kernel: no per-fragment z/q/id buffers —
     nothing in the train step reads them (the composite is fused, the feature
@@ -812,11 +813,13 @@ def _fwd_kernel_lean(
                 * in_window.astype(jnp.float32)
             )
             w = jnp.exp(-0.5 * jnp.where(accept, q, 0.0)) * sc * wins
-            cmat = jnp.concatenate(
-                [cr[:, None], cg[:, None], cb[:, None],
-                 jnp.ones((chunk, 1), jnp.float32)],
-                axis=1,
-            )  # (CM, 4)
+            cols = [cr[:, None], cg[:, None], cb[:, None],
+                    jnp.ones((chunk, 1), jnp.float32)]
+            if with_depth:
+                # weighted-depth column: channel 4 accumulates Σw·z so the
+                # wrapper can form depth = Σwz/Σw without fragment buffers
+                cols.append(pz[0][:, None])
+            cmat = jnp.concatenate(cols, axis=1)  # (CM, 4(+1))
             frgb = frgb + jnp.dot(w, cmat, preferred_element_type=jnp.float32)
             cnt = cnt + jnp.sum(accf, axis=1)
             vis_out[0, gs, 0, sl] = jnp.max(wins, axis=0)
@@ -825,7 +828,7 @@ def _fwd_kernel_lean(
         vis_out[0, gs, 0, :] = jnp.zeros((m,), jnp.float32)
         init = (
             jnp.full((tt,), jnp.inf, jnp.float32),
-            jnp.zeros((tt, 4), jnp.float32),
+            jnp.zeros((tt, 5 if with_depth else 4), jnp.float32),
             jnp.zeros((tt,), jnp.float32),
         )
         _, frgb, cnt = jax.lax.fori_loop(0, n_chunks, body, init)
@@ -851,13 +854,15 @@ def rasterize_forward_views_lean(
     mxu_quadric: bool = False,
     tiled_out: bool = False,
     matmul_scatter: bool = False,
+    with_depth: bool = False,
 ):
     """View-batched lean forward: per-view binning (vmapped jnp) + ONE
     pallas call with grid (V, n_tiles/G).  Same per-view math as the
     single-view path (parity-tested).  Returns (occ (V,S,S), visible (V,P),
     rgbw (V,S,S,4), overflow (V,), binned); with tiled_out, occ is
     (V, n_tiles, tt) and rgbw is (V, n_tiles, 4, tt) in the kernel's native
-    tile order (see tile_images/untile_images)."""
+    tile order (see tile_images/untile_images).  with_depth appends a fifth
+    rgbw channel carrying Σw·z (weighted view-space depth sum)."""
     s = image_size
     t = tile_size
     assert s % t == 0, "image_size must be a multiple of tile_size"
@@ -874,6 +879,7 @@ def rasterize_forward_views_lean(
         )
     )(pts, ellipse, cutoff, radii, scaler, features)
 
+    co = 5 if with_depth else 4
     g_batch = _tiles_per_step(n_tiles)
     kern = functools.partial(
         _fwd_kernel_lean,
@@ -885,6 +891,7 @@ def rasterize_forward_views_lean(
         m=bin_capacity,
         tiles_per_step=g_batch,
         mxu_quadric=mxu_quadric,
+        with_depth=with_depth,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -900,7 +907,7 @@ def rasterize_forward_views_lean(
         out_specs=[
             pl.BlockSpec((1, g_batch, 1, tt), lambda vi, i, counts: (vi, i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, g_batch, 1, bin_capacity), lambda vi, i, counts: (vi, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, g_batch, 4, tt), lambda vi, i, counts: (vi, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g_batch, co, tt), lambda vi, i, counts: (vi, i, 0, 0), memory_space=pltpu.VMEM),
         ],
     )
     cnt_t, vis_t, rgb_t = pl.pallas_call(
@@ -912,7 +919,7 @@ def rasterize_forward_views_lean(
         out_shape=[
             jax.ShapeDtypeStruct((v, n_tiles, 1, tt), jnp.float32),
             jax.ShapeDtypeStruct((v, n_tiles, 1, bin_capacity), jnp.float32),
-            jax.ShapeDtypeStruct((v, n_tiles, 4, tt), jnp.float32),
+            jax.ShapeDtypeStruct((v, n_tiles, co, tt), jnp.float32),
         ],
         interpret=_interpret_mode(),
     )(
@@ -946,7 +953,7 @@ def rasterize_forward_views_lean(
         return x.reshape(v, s, s, ch)
 
     occ = (untile(cnt_t, 1)[..., 0] > 0).astype(jnp.float32)
-    rgbw = untile(rgb_t, 4)
+    rgbw = untile(rgb_t, co)
     return occ, visible, rgbw, binned.overflow, binned
 
 
@@ -966,6 +973,7 @@ def rasterize_forward_pallas_lean(
     features=None,
     pair_cap: int | None = None,
     mxu_quadric: bool = False,
+    with_depth: bool = False,
 ):
     """Lean forward, single view: wraps the view-batched kernel with V=1.
     Returns (occ (S,S), visible (P,), rgbw (S,S,4), overflow (), binned)."""
@@ -975,7 +983,7 @@ def rasterize_forward_pallas_lean(
         depth_merging_threshold, image_size, points_per_pixel,
         tile_size=tile_size, bin_capacity=bin_capacity, chunk=chunk,
         max_tiles_xy=max_tiles_xy, pair_cap=pair_cap,
-        mxu_quadric=mxu_quadric,
+        mxu_quadric=mxu_quadric, with_depth=with_depth,
         scaler=(jnp.zeros((p,), jnp.float32) if scaler is None else scaler)[None],
         features=(jnp.zeros((p, 3), jnp.float32) if features is None
                   else features)[None],
@@ -1241,8 +1249,14 @@ def feat_backward_views(
     mxu_quadric: bool = False,
     grad_tiled: bool = False,
     matmul_scatter: bool = False,
+    with_depth: bool = False,
 ) -> jnp.ndarray:
-    """Per-point feature gradient (V, P, 3) from the saved forward tables."""
+    """Per-point feature gradient (V, P, 3) from the saved forward tables.
+
+    with_depth: the caller passes the Σw·z cotangent as grad row 3 (in place
+    of the Σw cotangent, whose per-candidate image only reaches the detached
+    weights); the kernel's row-3 output Σ_pix grad·w is then the z gradient,
+    and the return is (V, P, 4) with the z grads in column 3."""
     s = image_size
     t = tile_size
     nt = s // t
@@ -1320,14 +1334,15 @@ def feat_backward_views(
     )
     ids = binned.tile_ids.reshape(v, -1)
     seg = jnp.where(ids >= 0, ids, p)
+    nch = 4 if with_depth else 3
     if matmul_scatter:
         # Channel-major without a transpose: each channel of the kernel's
         # (V, n_tiles, 4, M) output flattens to a (V, N) row directly.
         partials = jnp.stack(
-            [gf_t[:, :, ch, :].reshape(v, -1) for ch in range(3)], axis=1
+            [gf_t[:, :, ch, :].reshape(v, -1) for ch in range(nch)], axis=1
         )
         return segment_sum_views_matmul(partials, seg, p)
-    partials = gf_t[:, :, :3, :].transpose(0, 1, 3, 2).reshape(v, -1, 3)
+    partials = gf_t[:, :, :nch, :].transpose(0, 1, 3, 2).reshape(v, -1, nch)
     return jax.vmap(lambda pa, sg: sorted_segment_sum(pa, sg, p))(
         partials, seg
     )
@@ -1344,13 +1359,14 @@ def feat_backward_pallas(
     bin_capacity: int,
     chunk: int = 128,
     mxu_quadric: bool = False,
+    with_depth: bool = False,
 ) -> jnp.ndarray:
     """Single-view wrapper over feat_backward_views."""
     batched = jax.tree_util.tree_map(lambda x: x[None], binned)
     return feat_backward_views(
         batched, grad_rgbw[None], depth_merging_threshold, p,
         image_size, points_per_pixel, tile_size, bin_capacity, chunk,
-        mxu_quadric=mxu_quadric,
+        mxu_quadric=mxu_quadric, with_depth=with_depth,
     )[0]
 
 
@@ -1671,7 +1687,7 @@ def rasterize_points_pallas(
 
 
 class TileCfg(NamedTuple):
-    """tile_config normalized to its full 10 entries; missing trailing
+    """tile_config normalized to its full 11 entries; missing trailing
     entries (the plain 4-tuples used by tests and older callers) default to
     -1 = auto."""
 
@@ -1691,11 +1707,15 @@ class TileCfg(NamedTuple):
     # >0 = per-point gradient/visibility scatters run as MXU one-hot
     # matmuls (segment_sum_views_matmul) instead of sort+cumsum.
     matmul_scatter: int
+    # >0 = the lean compositor carries a weighted-depth column (Σw·z as
+    # rgbw channel 4); gradients reach point z through the feature-backward
+    # matmul's spare row (see rasterize_views_pallas_lean).
+    depth_channel: int
 
 
 def _tile_cfg(tile_config) -> TileCfg:
     tc = tuple(tile_config)
-    return TileCfg(*(tc + (-1,) * (10 - len(tc)))[:10])
+    return TileCfg(*(tc + (-1,) * (11 - len(tc)))[:11])
 
 
 def _bwd_tile_budget(tile_config, p=None):
@@ -1843,7 +1863,8 @@ def rasterize_points_pallas_lean(
 def _rasterize_lean_with_tables(image_size, points_per_pixel, tile_config,
                                 pts_screen, ellipse_params, cutoff, radii,
                                 dmt, radii_backward_scaler, scaler, features):
-    t, cap, chunk, mt, _mtb, pcf, _pcb, mxq = _tile_cfg(tile_config)[:8]
+    cfg = _tile_cfg(tile_config)
+    t, cap, chunk, mt, _mtb, pcf, _pcb, mxq = cfg[:8]
     p = pts_screen.shape[0]
     occ, visible, rgbw, fwd_overflow, binned_fwd = (
         rasterize_forward_pallas_lean(
@@ -1852,6 +1873,7 @@ def _rasterize_lean_with_tables(image_size, points_per_pixel, tile_config,
             tile_size=t, bin_capacity=cap, chunk=chunk, max_tiles_xy=mt,
             scaler=scaler, features=features,
             pair_cap=(pcf if pcf > 0 else None), mxu_quadric=(mxq > 0),
+            with_depth=(cfg.depth_channel > 0),
         )
     )
     bt, bcap, _, bmt, bpc = _bwd_tile_budget(tile_config, p)
@@ -1881,20 +1903,34 @@ def _pallas_lean_bwd(image_size, points_per_pixel, tile_config, residuals,
     (grad_occ, _grad_vis, grad_rgbw, _grad_of) = grads
     p = pts_screen.shape[0]
     t, cap, chunk = tile_config[:3]
-    mxq = _tile_cfg(tile_config).mxu_quadric
+    cfg = _tile_cfg(tile_config)
+    mxq = cfg.mxu_quadric
+    with_depth = cfg.depth_channel > 0
     bt, bcap, _, _, _ = _bwd_tile_budget(tile_config, p)
 
     grad_xy = occ_backward_from_binned(
         binned_bwd, cur_r2, grad_occ, p,
         image_size, tile_size=bt, bin_capacity=bcap, chunk=chunk,
     )
-    grad_pts = jnp.concatenate(
-        [grad_xy, jnp.zeros((p, 1), pts_screen.dtype)], axis=-1
-    )
+    if with_depth:
+        # rows [0..2] rgb cotangent + row 3 = Σw·z cotangent (see
+        # _views_lean_bwd for the spare-row reuse rationale)
+        g_kernel = jnp.concatenate(
+            [grad_rgbw[..., :3], grad_rgbw[..., 4:5]], axis=-1
+        )
+    else:
+        g_kernel = grad_rgbw
     grad_features = feat_backward_pallas(
-        binned_fwd, grad_rgbw, dmt, p, image_size, points_per_pixel,
+        binned_fwd, g_kernel, dmt, p, image_size, points_per_pixel,
         tile_size=t, bin_capacity=cap, chunk=chunk, mxu_quadric=(mxq > 0),
+        with_depth=with_depth,
     )
+    if with_depth:
+        grad_z = grad_features[..., 3:4]
+        grad_features = grad_features[..., :3]
+    else:
+        grad_z = jnp.zeros((p, 1), pts_screen.dtype)
+    grad_pts = jnp.concatenate([grad_xy, grad_z], axis=-1)
     return (
         grad_pts,
         jnp.zeros((p, 3), pts_screen.dtype),
@@ -1990,7 +2026,8 @@ def rasterize_views_pallas_lean(
 def _views_lean_fwd_impl(image_size, points_per_pixel, tile_config,
                          pts_screen, ellipse_params, cutoff, radii,
                          dmt, radii_backward_scaler, scaler, features):
-    t, cap, chunk, mt, _mtb, pcf, _pcb, mxq, tio, mmsv = _tile_cfg(tile_config)
+    cfg = _tile_cfg(tile_config)
+    t, cap, chunk, mt, _mtb, pcf, _pcb, mxq, tio, mmsv = cfg[:10]
     mms = mmsv > 0
     p = pts_screen.shape[1]
     occ, visible, rgbw, fwd_overflow, binned_fwd = (
@@ -2001,6 +2038,7 @@ def _views_lean_fwd_impl(image_size, points_per_pixel, tile_config,
             scaler=scaler, features=features,
             pair_cap=(pcf if pcf > 0 else None), mxu_quadric=(mxq > 0),
             tiled_out=(tio > 0), matmul_scatter=mms,
+            with_depth=(cfg.depth_channel > 0),
         )
     )
     bt, bcap, _, bmt, bpc = _bwd_tile_budget(tile_config, p)
@@ -2034,8 +2072,9 @@ def _views_lean_bwd(image_size, points_per_pixel, tile_config, residuals,
     (grad_occ, _grad_vis, grad_rgbw, _grad_of) = grads
     v, p = pts_screen.shape[:2]
     t, cap, chunk = tile_config[:3]
-    mxq, tio, mmsv = _tile_cfg(tile_config)[7:10]
+    mxq, tio, mmsv, dch = _tile_cfg(tile_config)[7:11]
     mms = mmsv > 0
+    with_depth = dch > 0
     bt, bcap, _, _, _ = _bwd_tile_budget(tile_config, p)
     # tiled cotangents arrive in forward-tile order; the occ-backward table
     # uses the same tile size (only capacity/replication budgets differ)
@@ -2046,14 +2085,39 @@ def _views_lean_bwd(image_size, points_per_pixel, tile_config, residuals,
         tile_size=bt, bin_capacity=bcap, chunk=chunk,
         grad_tiled=(tio > 0), matmul_scatter=mms,
     )
-    grad_pts = jnp.concatenate(
-        [grad_xy, jnp.zeros((v, p, 1), pts_screen.dtype)], axis=-1
-    )
+    if with_depth:
+        # The feature-backward kernel's grad input is fixed at 4 rows; its
+        # row-3 output (Σ_pix grad·w, the Σw cotangent's per-candidate
+        # image) is discarded in rgb-only mode because w is treated locally
+        # constant.  Reuse that spare row for the depth-sum channel: rows
+        # [0..2] = rgb cotangent, row 3 = Σw·z cotangent, whose per-
+        # candidate image Σ_pix grad_zsum·w IS the z gradient (d(Σwz)/dz_j
+        # = w_j — the reference's zbuf-scatter semantics,
+        # rasterize_points.cu:823-885, generalized from top-1 to the merge
+        # window).  The Σw cotangent (channel 3) is dropped — its gradient
+        # flows only to the detached weights.
+        if tio > 0:
+            g_kernel = jnp.concatenate(
+                [grad_rgbw[:, :, :3, :], grad_rgbw[:, :, 4:5, :]], axis=2
+            )
+        else:
+            g_kernel = jnp.concatenate(
+                [grad_rgbw[..., :3], grad_rgbw[..., 4:5]], axis=-1
+            )
+    else:
+        g_kernel = grad_rgbw
     grad_features = feat_backward_views(
-        binned_fwd, grad_rgbw, dmt, p, image_size, points_per_pixel,
+        binned_fwd, g_kernel, dmt, p, image_size, points_per_pixel,
         tile_size=t, bin_capacity=cap, chunk=chunk, mxu_quadric=(mxq > 0),
         grad_tiled=(tio > 0), matmul_scatter=mms,
+        with_depth=with_depth,
     )
+    if with_depth:
+        grad_z = grad_features[..., 3:4]
+        grad_features = grad_features[..., :3]
+    else:
+        grad_z = jnp.zeros((v, p, 1), pts_screen.dtype)
+    grad_pts = jnp.concatenate([grad_xy, grad_z], axis=-1)
     return (
         grad_pts,
         jnp.zeros((v, p, 3), pts_screen.dtype),

@@ -119,6 +119,15 @@ class RasterSettings:
     # (bench 0.707 → 0.759+ Msplats/s); the sort path remains for the
     # single-view/non-lean entries and as the A/B reference.
     matmul_scatter: bool = struct.field(pytree_node=False, default=True)
+    # Weighted-depth channel: every backend populates Fragments.wdepth with
+    # the per-pixel weighted view-space depth Σw·z/Σw (−1 where uncovered;
+    # tiled layout under tiled_io).  On the lean pallas path the Σw·z sum
+    # rides as a fifth compositor column, so depth supervision
+    # (TrainConfig.lambda_depth) no longer needs the fragment path; the z
+    # gradient is Σ_pix cot·w/Σw per contributing splat — the reference's
+    # zbuf scatter (rasterize_points.cu:823-885) generalized from the top-1
+    # fragment to the depth-merge window, weights treated locally constant.
+    depth_channel: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass

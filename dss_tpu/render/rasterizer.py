@@ -65,6 +65,10 @@ class Fragments:
     overflow: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.zeros((), jnp.int32)
     )
+    # (S, S) weighted-mean view-space depth Σw·z/Σw, −1 where uncovered —
+    # populated on every backend when RasterSettings.depth_channel is on
+    # ((n_tiles, tt) tile order under tiled_io); None otherwise.
+    wdepth: jnp.ndarray | None = None
 
 
 def pixel_ndc_coords(image_size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:

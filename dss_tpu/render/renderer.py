@@ -82,6 +82,7 @@ def _tile_config(p: int, settings: RasterSettings):
         1 if settings.mxu_quadric else 0,
         1 if settings.tiled_io else 0,
         1 if settings.matmul_scatter else 0,
+        1 if settings.depth_channel else 0,
     )
 
 
@@ -114,6 +115,13 @@ def _finish_composite(rgbw, occ, normalize_composite):
     else:
         rgb = rgbw[..., :3]
     return jnp.concatenate([rgb, occ[..., None]], axis=-1)
+
+
+def _weighted_depth(wsum, wz):
+    """Σw (…), Σw·z (…) → weighted-mean view-space depth, −1 uncovered.
+    Gradient flows through the numerator only where covered; the
+    denominator's cotangent reaches only the (detached) weights."""
+    return jnp.where(wsum > 0.0, wz / jnp.maximum(wsum, 1e-10), -1.0)
 
 
 def render_single_view(
@@ -178,9 +186,13 @@ def render_single_view(
             empty = jnp.zeros(
                 (settings.image_size, settings.image_size, 0), jnp.float32
             )
+            wdepth = (
+                _weighted_depth(rgbw[..., 3], rgbw[..., 4])
+                if settings.depth_channel else None
+            )
             fragments = Fragments(
                 idx=empty.astype(jnp.int32), zbuf=empty, qvalue=empty,
-                occupancy=occ, overflow=overflow,
+                occupancy=occ, overflow=overflow, wdepth=wdepth,
             )
         else:
             idx, zbuf, qvalue, occ, _frag_scaler, visible, rgbw, overflow = (
@@ -189,9 +201,20 @@ def render_single_view(
                     tile_config, *raster_args,
                 )
             )
+            wdepth = None
+            if settings.depth_channel:
+                # Per-fragment weights exactly as the compositor forms them
+                # (the kernel no longer materializes frag_scaler — gather it;
+                # qvalue = −1 padding is killed by the 0 gathered scaler).
+                # This is the debug/fragment path; the hot path is lean.
+                fsc = masked_gather(splats.scaler[:, None], idx)[..., 0]
+                wf = jnp.exp(-0.5 * qvalue) * fsc * (idx >= 0)
+                wdepth = _weighted_depth(
+                    jnp.sum(wf, axis=-1), jnp.sum(wf * zbuf, axis=-1)
+                )
             fragments = Fragments(
                 idx=idx, zbuf=zbuf, qvalue=qvalue, occupancy=occ,
-                overflow=overflow,
+                overflow=overflow, wdepth=wdepth,
             )
         # Compositing was fused into the fragment kernel: rgbw carries the
         # weighted rgb sums + weight sum; only the norm division remains.
@@ -209,12 +232,25 @@ def render_single_view(
         settings.depth_merging_threshold,
         settings.radii_backward_scaler,
     )
-    fragments = Fragments(idx=idx, zbuf=zbuf, qvalue=qvalue, occupancy=occ)
 
     # 4. weights = exp(-0.5 Q) · scaler (renderer.py:53); per-fragment scaler
     # gathered with the negative-index guard (rasterizer.py:631-633).
     frag_scaler = masked_gather(splats.scaler[:, None], idx)[..., 0]
     weights = jnp.exp(-0.5 * qvalue) * frag_scaler
+
+    wdepth = None
+    if settings.depth_channel:
+        # zbuf's cotangent routes through _zbuf_backward's per-point scatter
+        # (weights detached: the rasterizer vjp drops the qvalue cotangent
+        # and scaler is stop_gradient'd in prepare_splats) — the same z-grad
+        # semantics as the lean kernel's depth column.
+        wv = weights * (idx >= 0)
+        wdepth = _weighted_depth(
+            jnp.sum(wv, axis=-1), jnp.sum(wv * zbuf, axis=-1)
+        )
+    fragments = Fragments(
+        idx=idx, zbuf=zbuf, qvalue=qvalue, occupancy=occ, wdepth=wdepth
+    )
 
     # 5. Composite to RGB; alpha = occupancy (renderer.py:57-78).
     compose = norm_weighted_sum if normalize_composite else weighted_sum
@@ -277,6 +313,10 @@ def render_views(
 
         rgba, fragments, visible = out
         tile = min(settings.tile_size, settings.image_size)
+        if fragments.wdepth is not None:
+            fragments = fragments.replace(
+                wdepth=tile_images(fragments.wdepth, tile)
+            )
         return tile_images(rgba, tile), fragments, visible
     return out
 
@@ -313,8 +353,9 @@ def _render_views_batched(
         settings.depth_merging_threshold, settings.radii_backward_scaler,
         scl, shaded,
     )
+    wdepth = None
     if settings.tiled_io:
-        # Tiled layout: rgbw (V, n_tiles, 4, tt), occ (V, n_tiles, tt);
+        # Tiled layout: rgbw (V, n_tiles, 4(+1), tt), occ (V, n_tiles, tt);
         # the composite is elementwise, so it runs in tile order too and
         # rgba stays tiled ((V, n_tiles, 4, tt), channel axis −2).
         if normalize_composite:
@@ -322,14 +363,18 @@ def _render_views_batched(
         else:
             rgb = rgbw[:, :, :3, :]
         rgba = jnp.concatenate([rgb, occ[:, :, None, :]], axis=2)
+        if settings.depth_channel:
+            wdepth = _weighted_depth(rgbw[:, :, 3, :], rgbw[:, :, 4, :])
     else:
         rgba = _finish_composite(rgbw, occ, normalize_composite)
+        if settings.depth_channel:
+            wdepth = _weighted_depth(rgbw[..., 3], rgbw[..., 4])
     v = rgba.shape[0]
     empty = jnp.zeros(
         (v, settings.image_size, settings.image_size, 0), jnp.float32
     )
     fragments = Fragments(
         idx=empty.astype(jnp.int32), zbuf=empty, qvalue=empty,
-        occupancy=occ, overflow=overflow,
+        occupancy=occ, overflow=overflow, wdepth=wdepth,
     )
     return rgba, fragments, visible

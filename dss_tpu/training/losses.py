@@ -313,11 +313,14 @@ def depth_l1_loss(
     depth_pred: jnp.ndarray,
     mask_img: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Masked L1 between GT dense depth and the nearest-fragment zbuf.
+    """Masked L1 between GT dense depth and the rendered depth.
 
     depth (V, S, S): view-space GT depth, background = zfar (the data-gen
     convention, reference create_mvr_data_from_mesh.py:216-240).
-    depth_pred (V, S, S): first-fragment zbuf, -1 where uncovered.
+    depth_pred (V, S, S): rendered view-space depth, -1 where uncovered —
+    the weighted-depth channel (settings.depth_channel, lean path) or the
+    first-fragment zbuf (lean_fragments=False).  Layout-agnostic: all three
+    images may arrive in the pallas tile order under tiled_io.
     Supervision is restricted to pixels covered by BOTH the GT silhouette and
     a rendered fragment — uncovered pixels carry no depth semantics (their
     -1/zfar difference is silhouette information, already supervised by the

@@ -78,8 +78,10 @@ class TrainConfig(NamedTuple):
     lambda_proj: float = 0.0
     lambda_repel: float = 0.0
     # Dense-depth L1 (extension: the reference serves img.depth but has no
-    # depth term).  Requires settings.lean_fragments=False so fragments carry
-    # zbuf; exercises the _zbuf_backward z-gradient path in training.
+    # depth term).  Needs a depth-carrying render path: the lean weighted-
+    # depth channel (settings.depth_channel, full kernel speed) or fragment
+    # zbuf (settings.lean_fragments=False); exercises the z-gradient path in
+    # training (kernel depth column / rasterizer._zbuf_backward).
     lambda_depth: float = 0.0
     # Anchors learned normals to a geometric estimate of the current cloud
     # (the reference only trains normals through shading; see
@@ -188,16 +190,18 @@ def make_loss_fn(
         # lost and bin_capacity / max_tiles_per_splat must be raised)
         parts = {**parts, "bin_overflow": out["bin_overflow"]}
         if cfg.lambda_depth > 0:
-            if settings.tiled_io:
+            if settings.tiled_io and not settings.depth_channel:
                 raise ValueError(
-                    "lambda_depth > 0 requires the zbuf-carrying fragment "
-                    "path (lean_fragments=False), which renders untiled — "
-                    "disable settings.tiled_io"
+                    "lambda_depth > 0 under tiled_io needs the weighted-"
+                    "depth channel (settings.depth_channel=True); the "
+                    "fragment zbuf path renders untiled only"
                 )
             if depth_img is None or "depth_pred" not in out:
                 raise ValueError(
-                    "lambda_depth > 0 needs a depth batch and a zbuf-carrying "
-                    "render path (settings.lean_fragments=False)"
+                    "lambda_depth > 0 needs a depth batch and a depth-"
+                    "carrying render path (settings.depth_channel=True for "
+                    "the lean path, or settings.lean_fragments=False for "
+                    "fragment zbuf)"
                 )
             from dss_tpu.training.losses import depth_l1_loss
 

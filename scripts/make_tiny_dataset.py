@@ -71,13 +71,19 @@ def main():
     st = RasterSettings(
         image_size=s, points_per_pixel=5, Vrk_invariant=True,
         Vrk_isotropic=False, backface_culling=True, cutoff_threshold=1.0,
+        depth_channel=True,
     )
-    rgba, _, _ = render_views(pts, normals, colors, mask, cams, None, st)
+    rgba, frags, _ = render_views(pts, normals, colors, mask, cams, None, st)
     rgba = np.asarray(rgba)
+    # dense per-view depth via the weighted-depth channel (background = zfar,
+    # the create_mvr_data convention) so lambda_dr_depth smoke runs work
+    depth = np.asarray(frags.wdepth)
+    depth = np.where(depth > 0.0, depth, np.float32(100.0))
 
     root = args.out
     os.makedirs(os.path.join(root, "image"), exist_ok=True)
     os.makedirs(os.path.join(root, "mask"), exist_ok=True)
+    os.makedirs(os.path.join(root, "depth"), exist_ok=True)
     for i in range(v):
         imageio.imwrite(
             os.path.join(root, "image", f"{i:03d}.png"),
@@ -86,6 +92,10 @@ def main():
         imageio.imwrite(
             os.path.join(root, "mask", f"{i:03d}.png"),
             (rgba[i, ..., 3] * 255).astype(np.uint8),
+        )
+        np.save(
+            os.path.join(root, "depth", f"{i:03d}.npy"),
+            depth[i].astype(np.float32),
         )
     m44 = np.zeros((v, 4, 4), np.float32)
     m44[:, :3, :3] = np.asarray(r)

@@ -316,6 +316,47 @@ class TestModelAndTrainStep:
         # term; zbuf only depends on view-space z, so the z-grad path fired
         assert np.abs(g).max() > 0.0
 
+    def test_depth_loss_on_lean_depth_channel(self):
+        """λ_depth on the LEAN path via the weighted-depth compositor channel
+        (settings.depth_channel), including under tiled_io with pre-tiled
+        targets — the full-speed training configuration for depth
+        supervision (no fragment buffers)."""
+        from dss_tpu.ops.splat_pallas import tile_images
+
+        params, cams, settings = self._setup()
+        filters = PointFilters.ones(params.points.shape[0])
+        for tiled in (False, True):
+            sett = settings.replace(
+                backend="pallas", tile_size=16, lean_fragments=True,
+                depth_channel=True, tiled_io=tiled,
+            )
+            gt_params = params.replace(points=params.points * 0.95)
+            out_gt, _ = point_model_forward(
+                gt_params, filters, cams, None, sett,
+            )
+            depth_img = out_gt["depth_pred"]
+            mask_img = out_gt["mask_img_pred"]
+            img = out_gt["img_pred"]
+            mask_plain = None
+            if tiled:
+                # the GT mask in row/col layout for the in-mask sampling
+                mask_plain = jnp.zeros((2, 32, 32)).at[:, 8:24, 8:24].set(1.0)
+
+            cfg = TrainConfig(
+                lambda_rgb=0.0, lambda_silhouette=0.0, lambda_depth=1.0
+            )
+            loss_fn = make_loss_fn(sett, cfg, AnnealSchedule())
+            (total, (parts, _)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(
+                params, filters, cams, None, img, mask_img,
+                jnp.zeros((), jnp.int32), depth_img, mask_plain,
+            )
+            assert float(parts["loss_dr_depth"]) > 1e-4, f"tiled={tiled}"
+            g = np.asarray(grads.points)
+            assert np.isfinite(g).all()
+            assert np.abs(g).max() > 0.0, f"tiled={tiled}"
+
     def test_depth_loss_requires_depth_batch(self):
         """λ_depth > 0 without a depth batch is a config error, not a silent
         no-op.  (The zbuf-carrying-path requirement can only trip on the
