@@ -2,16 +2,19 @@
 jit program (BASELINE.md config 5: "batched multi-scene inverse rendering,
 100k+ points").
 
-The scene axis is vmapped over the shared train-loss (the same
-`make_loss_fn` the flagship uses — reference semantics per scene,
+Two dispatch modes over the same per-scene semantics (reference
 DSS/training/trainer.py:275-376); each scene has its own GT cloud, its own
 camera ring, and its own slice of the stacked Adam state (elementwise Adam
-over stacked params ≡ independent per-scene optimizers).  On one chip the
-scene axis executes sequentially inside the program (vmap of the Pallas
-entry lowers to an XLA while loop over scenes — acceptable: a single chip
-has no parallelism left to expose); on a multi-chip mesh the SAME stacked
-arrays shard over devices along the scene axis with GSPMD
-(tests/test_parallel.py::test_vmap_over_scenes pins placement + math).
+over stacked params ≡ independent per-scene optimizers):
+
+- `--dispatch folded` (default): ALL S·V views render in ONE lean kernel
+  launch (`make_stacked_loss_fn` → `render_views_stacked`, grid (S·V,
+  tiles)) — the single-chip fast path; vmapping the Pallas entry instead
+  lowers to a sequential XLA while loop over scenes.
+- `--dispatch vmap`: the scene axis is vmapped over the flagship
+  `make_loss_fn`; on a multi-chip mesh the SAME stacked arrays shard over
+  devices along the scene axis with GSPMD
+  (tests/test_parallel.py::test_vmap_over_scenes pins placement + math).
 
 Scenes are anisotropically-scaled spheres (distinct aspect + color per
 scene) whose GT multi-view images are rendered with the framework itself.
@@ -64,6 +67,13 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", type=str, default=None)
     ap.add_argument("--json-out", type=str, default=None)
+    ap.add_argument(
+        "--dispatch", choices=["folded", "vmap"], default="folded",
+        help="folded: all S·V views in ONE kernel launch "
+             "(make_stacked_loss_fn — the single-chip fast path); vmap: "
+             "per-scene vmap of the flagship loss (the multi-chip sharding "
+             "layout; on one chip the Pallas entry serializes per scene)",
+    )
     args = ap.parse_args(argv)
 
     from dss_tpu.utils.platform import setup_jax
@@ -158,28 +168,40 @@ def main(argv=None):
         init_backward_radii=5.0, steps_backward_radii=50,
         gamma_backward_radii=0.9, limit_backward_radii=1.0,
     )
-    loss_fn = make_loss_fn(settings, cfg, schedule)
     optimizer = make_optimizer(
         lr_points=args.lr_points, lr_normals=args.lr_points, lr_colors=0.1
     )
     opt_state = optimizer.init(params)
 
-    def scene_loss(params_s, filters_s, cams_s, img_s, mask_s, it):
-        total, (parts, new_f) = loss_fn(
-            params_s, filters_s, cams_s, None, img_s, mask_s, it
-        )
-        return total, new_f
+    if args.dispatch == "folded":
+        from dss_tpu.training.trainer import make_stacked_loss_fn
 
-    @jax.jit
-    def train_step(params, filters, opt_state, it):
-        def batched(params):
+        stacked_loss = make_stacked_loss_fn(settings, cfg, schedule)
+
+        def batched_loss(params, filters, it):
+            total, (_parts, new_f) = stacked_loss(
+                params, filters, cams, None, gt_img, gt_mask, it
+            )
+            return total, new_f
+    else:
+        loss_fn = make_loss_fn(settings, cfg, schedule)
+
+        def scene_loss(params_s, filters_s, cams_s, img_s, mask_s, it):
+            total, (parts, new_f) = loss_fn(
+                params_s, filters_s, cams_s, None, img_s, mask_s, it
+            )
+            return total, new_f
+
+        def batched_loss(params, filters, it):
             totals, new_f = jax.vmap(
                 scene_loss, in_axes=(0, 0, 0, 0, 0, None)
             )(params, filters, cams, gt_img, gt_mask, it)
             return jnp.mean(totals), new_f
 
+    @jax.jit
+    def train_step(params, filters, opt_state, it):
         (loss, new_filters), grads = jax.value_and_grad(
-            batched, has_aux=True
+            lambda p: batched_loss(p, filters, it), has_aux=True
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -219,6 +241,7 @@ def main(argv=None):
         cds.append(float(cd))
     result = {
         "scenes": S, "points_per_scene": P, "views": V,
+        "dispatch": args.dispatch,
         "image_size": args.image_size, "iters": args.iters,
         "sec_per_iter": round(steady, 4),
         "msplats_per_s": round(msplats, 3),

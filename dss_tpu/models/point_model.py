@@ -175,6 +175,82 @@ def point_model_forward(
     return out, new_filters
 
 
+def point_model_forward_stacked(
+    params: PointModelParams,  # leaves (S, P, ...)
+    filters: PointFilters,  # leaves (S, P)
+    cameras: FoVPerspectiveCameras,  # leaves (S, V, ...)
+    lights: Optional[Lights],
+    settings: RasterSettings,
+    mask_img: Optional[jnp.ndarray] = None,  # (S, V, H, W)
+    **render_kwargs,
+) -> Tuple[Dict[str, jnp.ndarray], PointFilters]:
+    """Multi-scene point_model_forward: S independent clouds rendered in ONE
+    lean kernel launch (renderer.render_views_stacked folds the scene axis
+    into the kernel's view axis — vmapping point_model_forward over scenes
+    would lower the Pallas call to a sequential XLA while loop).  The
+    pure-jnp parts (vrk_h, filter updates, in-mask sampling) vmap over the
+    scene axis as usual.  Same per-scene semantics as point_model_forward
+    (parity-pinned in tests/test_parallel.py).
+
+    Returns ({img_pred (S,V,...), mask_img_pred, bin_overflow ()},
+    new_filters with (S, P) leaves)."""
+    normals = normalize(params.normals)  # elementwise — scene axis free
+    active = filters.activation
+
+    vrk_h = None
+    if settings.Vrk_invariant or settings.Vrk_isotropic:
+        from dss_tpu.render.ewa import (
+            compute_vrk_h_global,
+            compute_vrk_h_isotropic,
+        )
+
+        fn = (compute_vrk_h_global if settings.Vrk_invariant
+              else compute_vrk_h_isotropic)
+        vrk_h = jax.vmap(fn)(params.points, active)
+
+    from dss_tpu.render.renderer import render_views_stacked
+
+    rgba, frags, visible = render_views_stacked(
+        params.points, normals, params.colors, active,
+        cameras, lights, settings, vrk_h=vrk_h, **render_kwargs,
+    )
+    visibility = jnp.any(visible, axis=1) & active  # (S, P)
+
+    if settings.tiled_io:
+        img_pred = rgba[:, :, :, :3, :]
+        mask_pred = rgba[:, :, :, 3, :]
+    else:
+        img_pred = rgba[..., :3]
+        mask_pred = rgba[..., 3]
+
+    if mask_img is not None:
+        def sample_scene(cam_s, pts_s, mask_s, vis_s):
+            p_screen = cam_s.transform_points_screen(pts_s)
+            p = jnp.clip(-p_screen[..., :2], -1.0, 1.0)
+            sampled = sample_image_at_ndc(mask_s.astype(jnp.float32), p)
+            return jnp.any(sampled > 0.5, axis=0) & vis_s
+
+        inmask = jax.vmap(sample_scene)(
+            cameras, params.points, mask_img, visibility
+        )
+    else:
+        inmask = filters.inmask
+
+    new_filters = PointFilters(
+        activation=active,
+        visibility=jax.lax.stop_gradient(visibility),
+        inmask=jax.lax.stop_gradient(inmask),
+    )
+    out = {
+        "img_pred": img_pred,
+        "mask_img_pred": mask_pred,
+        "bin_overflow": jax.lax.stop_gradient(jnp.sum(frags.overflow)),
+    }
+    if frags.wdepth is not None:
+        out["depth_pred"] = frags.wdepth
+    return out, new_filters
+
+
 def render_model(
     params: PointModelParams,
     filters: PointFilters,

@@ -353,6 +353,15 @@ def _render_views_batched(
         settings.depth_merging_threshold, settings.radii_backward_scaler,
         scl, shaded,
     )
+    return _package_lean(
+        occ, visible, rgbw, overflow, settings, normalize_composite
+    )
+
+
+def _package_lean(occ, visible, rgbw, overflow, settings,
+                  normalize_composite):
+    """Composite + Fragments packaging shared by the view-batched and the
+    stacked multi-scene lean paths."""
     wdepth = None
     if settings.tiled_io:
         # Tiled layout: rgbw (V, n_tiles, 4(+1), tt), occ (V, n_tiles, tt);
@@ -378,3 +387,103 @@ def _render_views_batched(
         occupancy=occ, overflow=overflow, wdepth=wdepth,
     )
     return rgba, fragments, visible
+
+
+def render_views_stacked(
+    points: jnp.ndarray,  # (S, P, 3) — one cloud per scene
+    normals: jnp.ndarray,  # (S, P, 3)
+    colors: jnp.ndarray,  # (S, P, 3)
+    mask: jnp.ndarray,  # (S, P)
+    cameras: FoVPerspectiveCameras,  # leaves (S, V, ...)
+    lights: Optional[Lights],  # leaves (S, V, ...) or None
+    settings: RasterSettings,
+    vrk_h: Optional[jnp.ndarray] = None,  # (S,)
+    shininess: float = 64.0,
+    normalize_composite: bool = True,
+    texture_fn=None,
+) -> Tuple[jnp.ndarray, Fragments, jnp.ndarray]:
+    """Multi-scene batched render: ALL S·V views in ONE lean kernel call.
+
+    vmap of render_views over the scene axis lowers the Pallas entry to a
+    sequential XLA while loop over scenes (scalar-prefetch grids don't
+    batch); folding the scene axis into the kernel's view axis instead
+    gives grid (S·V, n_tiles) — every view of every scene pipelines through
+    the same launch.  The per-view candidate tables already carry their own
+    point data, so views of different clouds coexist in one grid exactly
+    like views of one cloud (the binning is vmapped jnp either way).
+
+    Requires the pallas lean path (the production training configuration).
+    Returns (rgba (S, V, ...), fragments, visible (S, V, P)).
+    """
+    backend = settings.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "reference"
+    if backend != "pallas" or not settings.lean_fragments:
+        # correctness fallback: per-scene vmap of the standard entry
+        def one(p, n, c, m, cam, li, vh):
+            return render_views(
+                p, n, c, m, cam, li, settings, vrk_h=vh,
+                shininess=shininess,
+                normalize_composite=normalize_composite,
+                texture_fn=texture_fn,
+            )
+
+        vh_axis = None if vrk_h is None else 0
+        li_axis = None if lights is None else 0
+        return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, li_axis, vh_axis))(
+            points, normals, colors, mask, cameras, lights, vrk_h
+        )
+
+    from dss_tpu.ops.splat_pallas import rasterize_views_pallas_lean
+
+    s_scenes, p = points.shape[:2]
+    n_views = jax.tree_util.tree_leaves(cameras)[0].shape[1]
+
+    def flat(x):
+        return x.reshape((s_scenes * n_views,) + x.shape[2:])
+
+    cams_f = jax.tree_util.tree_map(flat, cameras)
+    lights_f = (
+        None if lights is None else jax.tree_util.tree_map(flat, lights)
+    )
+
+    def rep(x):
+        # scene-major repeat: view j of scene s lands at row s·V + j,
+        # matching the flattened camera order
+        return jnp.repeat(x, n_views, axis=0)
+
+    def prep(pts_s, nrm_s, col_s, msk_s, vh_s, cam_tree, light_tree):
+        cam = jax.tree_util.tree_map(lambda x: x[None], cam_tree)
+        shaded, splats, pts_screen = _prep_view(
+            pts_s, nrm_s, col_s, msk_s, cam, light_tree, settings,
+            vh_s, shininess, texture_fn,
+        )
+        return (
+            pts_screen, splats.ellipse_params, splats.cutoff, splats.radii,
+            splats.scaler, shaded,
+        )
+
+    in_axes = (0, 0, 0, 0, (None if vrk_h is None else 0), 0,
+               (None if lights is None else 0))
+    pts_s, ell, cut, rad, scl, shaded = jax.vmap(prep, in_axes=in_axes)(
+        rep(points), rep(normals), rep(colors), rep(mask),
+        (None if vrk_h is None else jnp.repeat(vrk_h, n_views, axis=0)),
+        cams_f, lights_f,
+    )
+
+    tile_config = _tile_config(p, settings)
+    occ, visible, rgbw, overflow = rasterize_views_pallas_lean(
+        settings.image_size, settings.points_per_pixel, tile_config,
+        pts_s, ell, cut, rad,
+        settings.depth_merging_threshold, settings.radii_backward_scaler,
+        scl, shaded,
+    )
+    rgba, fragments, visible = _package_lean(
+        occ, visible, rgbw, overflow, settings, normalize_composite
+    )
+    unflat = lambda x: x.reshape((s_scenes, n_views) + x.shape[1:])
+    return (
+        unflat(rgba),
+        jax.tree_util.tree_map(unflat, fragments),
+        unflat(visible),
+    )

@@ -166,104 +166,183 @@ def make_loss_fn(
         sett = settings.replace(
             radii_backward_scaler=schedule.backward_radii(it)
         )
-        if settings.tiled_io and mask_plain is None:
-            raise ValueError(
-                "settings.tiled_io needs mask_plain (the untiled (V, S, S) "
-                "mask) for in-mask point sampling — without it the inmask "
-                "filter would silently freeze at its previous value"
-            )
+        _validate_loss_inputs(settings, cfg, depth_img, mask_plain)
         sample_mask = mask_plain if settings.tiled_io else mask_img
         out, new_filters = point_model_forward(
             params, filters, cameras, lights, sett, mask_img=sample_mask
         )
-        total, parts = dr_loss(
-            img,
-            out["img_pred"],
-            mask_img,
-            out["mask_img_pred"],
-            cfg.lambda_rgb,
-            cfg.lambda_silhouette,
-            tiled=settings.tiled_io,
+        total, parts = _post_render_loss(
+            params, filters, new_filters, out, img, mask_img, it,
+            depth_img, settings, cfg, schedule,
         )
         # runtime binning-overflow counter (0 unless the pallas backend's
         # static budgets dropped candidates — then fragments/gradients were
         # lost and bin_capacity / max_tiles_per_splat must be raised)
         parts = {**parts, "bin_overflow": out["bin_overflow"]}
-        if cfg.lambda_depth > 0:
-            if settings.tiled_io and not settings.depth_channel:
-                raise ValueError(
-                    "lambda_depth > 0 under tiled_io needs the weighted-"
-                    "depth channel (settings.depth_channel=True); the "
-                    "fragment zbuf path renders untiled only"
-                )
-            if depth_img is None or "depth_pred" not in out:
-                raise ValueError(
-                    "lambda_depth > 0 needs a depth batch and a depth-"
-                    "carrying render path (settings.depth_channel=True for "
-                    "the lean path, or settings.lean_fragments=False for "
-                    "fragment zbuf)"
-                )
-            from dss_tpu.training.losses import depth_l1_loss
-
-            ld = (
-                depth_l1_loss(depth_img, out["depth_pred"], mask_img)
-                * cfg.lambda_depth
-            )
-            total = total + ld
-            parts = {**parts, "loss_dr_depth": ld}
-        # Regularizers on the source-space cloud (trainer.py:314-330),
-        # rebuild_knn=True per step.
-        if cfg.lambda_proj > 0 or cfg.lambda_repel > 0:
-            normals = normalize(params.normals)
-            active = filters.activation
-            reliable = new_filters.visibility & new_filters.inmask
-            knn = build_knn(params.points, active, cfg.knn_k)
-            if cfg.lambda_proj > 0:
-                lp = (
-                    projection_loss(
-                        params.points,
-                        normals,
-                        active,
-                        visibility=new_filters.visibility,
-                        reliable=reliable,
-                        knn=knn,
-                        filter_scale=cfg.filter_scale,
-                        sharpness_sigma=cfg.sharpness_sigma,
-                    )
-                    * cfg.lambda_proj
-                    * schedule.proj_scale(it)
-                )
-                total = total + lp
-                parts = {**parts, "loss_dr_proj": lp}
-            if cfg.lambda_repel > 0:
-                lr_ = (
-                    repulsion_loss(
-                        params.points,
-                        normals,
-                        active,
-                        reliable=reliable,
-                        knn=knn,
-                        filter_scale=cfg.filter_scale,
-                        sharpness_sigma=cfg.sharpness_sigma,
-                    )
-                    * cfg.lambda_repel
-                )
-                total = total + lr_
-                parts = {**parts, "loss_dr_repel": lr_}
-        if cfg.lambda_normal > 0:
-            ln = (
-                normal_consistency_loss(
-                    params.points,
-                    params.normals,
-                    filters.activation,
-                    neighborhood_size=cfg.normal_anchor_k,
-                    anchor=cfg.normal_anchor,
-                )
-                * cfg.lambda_normal
-            )
-            total = total + ln
-            parts = {**parts, "loss_dr_normal": ln}
         return total, (parts, new_filters)
+
+    return loss_fn
+
+
+def _validate_loss_inputs(settings, cfg, depth_img, mask_plain):
+    if settings.tiled_io and mask_plain is None:
+        raise ValueError(
+            "settings.tiled_io needs mask_plain (the untiled (V, S, S) "
+            "mask) for in-mask point sampling — without it the inmask "
+            "filter would silently freeze at its previous value"
+        )
+    if cfg.lambda_depth > 0:
+        if settings.tiled_io and not settings.depth_channel:
+            raise ValueError(
+                "lambda_depth > 0 under tiled_io needs the weighted-"
+                "depth channel (settings.depth_channel=True); the "
+                "fragment zbuf path renders untiled only"
+            )
+        backend = settings.backend
+        if backend == "auto":
+            backend = (
+                "pallas" if jax.default_backend() == "tpu" else "reference"
+            )
+        carries_depth = (
+            settings.depth_channel
+            or not settings.lean_fragments
+            or backend == "reference"  # the spec path always carries zbuf
+        )
+        if depth_img is None or not carries_depth:
+            raise ValueError(
+                "lambda_depth > 0 needs a depth batch and a depth-"
+                "carrying render path (settings.depth_channel=True for "
+                "the lean path, or settings.lean_fragments=False for "
+                "fragment zbuf)"
+            )
+
+
+def _post_render_loss(params, filters, new_filters, out, img, mask_img, it,
+                      depth_img, settings, cfg, schedule):
+    """Loss terms from a completed model forward — shared by the
+    single-scene loss and the stacked multi-scene loss (which vmaps this
+    over the scene axis; everything here is pure jnp)."""
+    total, parts = dr_loss(
+        img,
+        out["img_pred"],
+        mask_img,
+        out["mask_img_pred"],
+        cfg.lambda_rgb,
+        cfg.lambda_silhouette,
+        tiled=settings.tiled_io,
+    )
+    if cfg.lambda_depth > 0:
+        if "depth_pred" not in out:
+            raise ValueError(
+                "lambda_depth > 0 needs a depth-carrying render path "
+                "(settings.depth_channel=True for the lean path, or "
+                "settings.lean_fragments=False for fragment zbuf)"
+            )
+        from dss_tpu.training.losses import depth_l1_loss
+
+        ld = (
+            depth_l1_loss(depth_img, out["depth_pred"], mask_img)
+            * cfg.lambda_depth
+        )
+        total = total + ld
+        parts = {**parts, "loss_dr_depth": ld}
+    # Regularizers on the source-space cloud (trainer.py:314-330),
+    # rebuild_knn=True per step.
+    if cfg.lambda_proj > 0 or cfg.lambda_repel > 0:
+        normals = normalize(params.normals)
+        active = filters.activation
+        reliable = new_filters.visibility & new_filters.inmask
+        knn = build_knn(params.points, active, cfg.knn_k)
+        if cfg.lambda_proj > 0:
+            lp = (
+                projection_loss(
+                    params.points,
+                    normals,
+                    active,
+                    visibility=new_filters.visibility,
+                    reliable=reliable,
+                    knn=knn,
+                    filter_scale=cfg.filter_scale,
+                    sharpness_sigma=cfg.sharpness_sigma,
+                )
+                * cfg.lambda_proj
+                * schedule.proj_scale(it)
+            )
+            total = total + lp
+            parts = {**parts, "loss_dr_proj": lp}
+        if cfg.lambda_repel > 0:
+            lr_ = (
+                repulsion_loss(
+                    params.points,
+                    normals,
+                    active,
+                    reliable=reliable,
+                    knn=knn,
+                    filter_scale=cfg.filter_scale,
+                    sharpness_sigma=cfg.sharpness_sigma,
+                )
+                * cfg.lambda_repel
+            )
+            total = total + lr_
+            parts = {**parts, "loss_dr_repel": lr_}
+    if cfg.lambda_normal > 0:
+        ln = (
+            normal_consistency_loss(
+                params.points,
+                params.normals,
+                filters.activation,
+                neighborhood_size=cfg.normal_anchor_k,
+                anchor=cfg.normal_anchor,
+            )
+            * cfg.lambda_normal
+        )
+        total = total + ln
+        parts = {**parts, "loss_dr_normal": ln}
+    return total, parts
+
+
+def make_stacked_loss_fn(
+    settings: RasterSettings,
+    cfg: TrainConfig,
+    schedule: AnnealSchedule,
+) -> Callable:
+    """Multi-scene train loss over stacked params (leaves (S, P, ...)) and
+    per-scene camera rings (leaves (S, V, ...)): the render folds the scene
+    axis into ONE lean kernel launch (point_model_forward_stacked) instead
+    of vmapping the Pallas entry (which lowers to a sequential XLA while
+    loop over scenes); the pure-jnp loss terms vmap per scene.  Same
+    signature contract as make_loss_fn with a leading scene axis on
+    params/filters/cameras/images; returns the scene-mean total and parts.
+    """
+
+    def loss_fn(params, filters, cameras, lights, img, mask_img, it,
+                depth_img=None, mask_plain=None):
+        sett = settings.replace(
+            radii_backward_scaler=schedule.backward_radii(it)
+        )
+        _validate_loss_inputs(settings, cfg, depth_img, mask_plain)
+        sample_mask = mask_plain if settings.tiled_io else mask_img
+        from dss_tpu.models.point_model import point_model_forward_stacked
+
+        out, new_filters = point_model_forward_stacked(
+            params, filters, cameras, lights, sett, mask_img=sample_mask
+        )
+        out_scene = {k: v for k, v in out.items() if k != "bin_overflow"}
+
+        def per_scene(params_s, filters_s, nf_s, out_s, img_s, mask_s,
+                      depth_s):
+            return _post_render_loss(
+                params_s, filters_s, nf_s, out_s, img_s, mask_s, it,
+                depth_s, settings, cfg, schedule,
+            )
+
+        d_ax = None if depth_img is None else 0
+        totals, parts = jax.vmap(
+            per_scene, in_axes=(0, 0, 0, 0, 0, 0, d_ax)
+        )(params, filters, new_filters, out_scene, img, mask_img, depth_img)
+        parts = jax.tree_util.tree_map(jnp.mean, parts)
+        parts = {**parts, "bin_overflow": out["bin_overflow"]}
+        return jnp.mean(totals), (parts, new_filters)
 
     return loss_fn
 

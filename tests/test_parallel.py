@@ -370,3 +370,87 @@ class TestMultiSceneTraining:
         assert result["final_loss"] < first_loss
         assert len(result["chamfer_per_scene"]) == 2
         assert all(np.isfinite(c) for c in result["chamfer_per_scene"])
+
+    def test_folded_matches_vmap_loss_and_grads(self):
+        """make_stacked_loss_fn (ONE kernel launch over the flattened S·V
+        view axis) must reproduce the per-scene vmap of make_loss_fn: same
+        scene-mean total, same parts, same gradients — only the dispatch
+        changes (tests the scene-major repeat/reshape bookkeeping)."""
+        from dss_tpu.geometry.pointclouds import PointFilters
+        from dss_tpu.training.trainer import make_loss_fn, make_stacked_loss_fn
+
+        n_scenes, n_views, n_pts = 3, 2, 200
+        scenes = jnp.stack(
+            [
+                jnp.asarray(fibonacci_sphere(n_pts, 0.35 + 0.1 * i))
+                for i in range(n_scenes)
+            ]
+        )
+        normals = scenes / jnp.linalg.norm(scenes, axis=-1, keepdims=True)
+        params = PointModelParams(
+            points=scenes, normals=normals,
+            colors=jnp.full_like(scenes, 0.6),
+        )
+        filters = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (n_scenes,) + x.shape),
+            PointFilters.ones(n_pts),
+        )
+
+        def ring(i):
+            r, t = look_at_view_transform(
+                dist=jnp.full((n_views,), 2.0),
+                elev=jnp.array([10.0 * i, 30.0]),
+                azim=jnp.array([15.0 * i, 100.0 + 10.0 * i]),
+            )
+            return FoVPerspectiveCameras.create(r, t, fov=60.0)
+
+        cams = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[ring(i) for i in range(n_scenes)]
+        )
+        st = RasterSettings(
+            image_size=32, points_per_pixel=3, backend="pallas",
+            tile_size=16, bin_capacity=256, Vrk_invariant=True,
+            Vrk_isotropic=False,
+        )
+        cfg = TrainConfig(lambda_repel=0.05)
+        schedule = AnnealSchedule()
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(
+            rng.uniform(0, 1, (n_scenes, n_views, 32, 32, 3)).astype(np.float32)
+        )
+        mask = jnp.asarray(
+            (rng.uniform(0, 1, (n_scenes, n_views, 32, 32)) > 0.5).astype(
+                np.float32
+            )
+        )
+        it = jnp.zeros((), jnp.int32)
+
+        loss_v = make_loss_fn(st, cfg, schedule)
+
+        def vmapped(p):
+            totals, (parts, _nf) = jax.vmap(
+                lambda ps, fs, cs, im, ms: loss_v(ps, fs, cs, None, im, ms, it)
+            )(p, filters, cams, img, mask)
+            return jnp.mean(totals), jax.tree_util.tree_map(jnp.mean, parts)
+
+        loss_s = make_stacked_loss_fn(st, cfg, schedule)
+
+        def folded(p):
+            total, (parts, _nf) = loss_s(p, filters, cams, None, img, mask, it)
+            return total, parts
+
+        (tv, pv), gv = jax.value_and_grad(vmapped, has_aux=True)(params)
+        (tf, pf), gf = jax.value_and_grad(folded, has_aux=True)(params)
+        np.testing.assert_allclose(float(tv), float(tf), rtol=1e-6)
+        for k in pv:
+            if k == "bin_overflow":
+                continue
+            np.testing.assert_allclose(
+                float(pv[k]), float(pf[k]), rtol=1e-5, err_msg=k
+            )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(gv), jax.tree_util.tree_leaves(gf)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            )
