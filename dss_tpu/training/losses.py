@@ -11,12 +11,13 @@ pytorch3d knn_points / FRNN.
 """
 from __future__ import annotations
 
+import math
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
-from dss_tpu.geometry.knn import knn_points, masked_gather
+from dss_tpu.geometry.knn import grid_knn_points, knn_points, masked_gather
 from dss_tpu.utils.mathutil import eps_denom, normalize
 
 # ---------------------------------------------------------------------------
@@ -80,10 +81,35 @@ class KnnCache(NamedTuple):
 
 
 def build_knn(
-    points: jnp.ndarray, mask: Optional[jnp.ndarray], knn_k: int = 12
+    points: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    knn_k: int = 12,
+    grid_threshold: int = 20000,
 ) -> KnnCache:
+    """Neighbor cache for the surface losses.
+
+    Dense clouds (P > grid_threshold) use the uniform-grid kNN — the FRNN
+    path the reference switches to at exactly this scale (SurfaceLoss uses
+    `frnn.frnn_grid_points`, losses.py:157-180); brute force there pays a
+    P-wide `top_k` per query row (the 4 s/it multi-scene profile at 25k).
+    The grid is sized so mean occupancy of occupied surface cells stays
+    near bucket/2 = 32 (a surface cloud occupies ~3·res² cells); that same
+    sizing keeps cell/knn-radius ≈ sqrt(96π/3k) ≈ 2.9× at k=12
+    INDEPENDENT of P, so the 27-cell neighborhood covers the true
+    neighbors with constant margin at any scale.
+    """
     k = knn_k - 1  # reference drops the self column
-    dists, idx = knn_points(points, points, mask, mask, k=k, exclude_self=True)
+    p = points.shape[0]
+    if p > grid_threshold:
+        grid_res = max(4, math.ceil((p / 96.0) ** 0.5))
+        dists, idx = grid_knn_points(
+            points, mask, k=k, exclude_self=True,
+            grid_res=grid_res, bucket_size=64,
+        )
+    else:
+        dists, idx = knn_points(
+            points, points, mask, mask, k=k, exclude_self=True
+        )
     nn = masked_gather(points, idx)
     valid = idx >= 0
     dists = jnp.where(valid, dists, 0.0)

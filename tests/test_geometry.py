@@ -151,6 +151,25 @@ class TestKnn:
         d2, _ = grid_knn_points(pts, k=4, exclude_self=True, grid_res=4, bucket_size=128)
         np.testing.assert_allclose(d1, d2, rtol=1e-3, atol=1e-5)
 
+    def test_build_knn_grid_dispatch_matches_brute(self):
+        # build_knn switches to the grid path above grid_threshold; at a
+        # benign density (occupancy << bucket, radius << cell) the grid is
+        # exact, so forcing the dispatch must reproduce brute force.
+        from dss_tpu.geometry.shapes import ico_sphere, sample_points_from_mesh
+        from dss_tpu.training.losses import build_knn
+
+        verts, faces = ico_sphere(level=3, radius=0.5)
+        pts_np, _ = sample_points_from_mesh(verts, faces, 2048)
+        pts = jnp.asarray(pts_np)
+        mask = jnp.ones((2048,), bool).at[7].set(False)
+        brute = build_knn(pts, mask, knn_k=8)  # 2048 < threshold -> brute
+        grid = build_knn(pts, mask, knn_k=8, grid_threshold=0)
+        np.testing.assert_allclose(brute.dists, grid.dists, rtol=1e-5, atol=1e-7)
+        # same neighbor sets row-wise (ties may permute equal-dist columns)
+        same = (np.sort(np.asarray(brute.idx), axis=1)
+                == np.sort(np.asarray(grid.idx), axis=1))
+        assert same.mean() > 0.999
+
     def test_masked_gather_neg_idx(self):
         vals = jnp.arange(12.0).reshape(4, 3)
         idx = jnp.array([[0, -1], [3, 2]])
