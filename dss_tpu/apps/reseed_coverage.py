@@ -108,6 +108,9 @@ def main(argv=None) -> None:
     _, msk, cams, lights = ds.get_batch(vsel)
     cfg = config_mod.load_config("configs/dss.yml")
     settings = config_mod.create_raster_settings(cfg)
+    # render at the DATASET's resolution, not the flagship config's —
+    # the deficit test compares pred alpha against the dataset masks
+    settings = settings.replace(image_size=int(np.asarray(msk).shape[-1]))
     if args.use_depth:
         # zbuf-carrying fragment path so the render exposes front depth
         settings = settings.replace(lean_fragments=False)

@@ -47,16 +47,19 @@ cp docs/yoga6_metrics.json /tmp/r4q/flagship_metrics.json
 echo "=== B2.4 E21 jet-anchored normal refine (->20000) $(date) ==="
 mkdir -p exp/dss_e21_jetanchor
 cp exp/dss_refine2/model.npz exp/dss_e21_jetanchor/model.npz
+# the rebuilt refine2 chain ends at it=18000; 21000 => 3000 refine iters
 timeout 7200 python train_mvr.py --config configs/exp_e21_jetanchor.yml \
-  --max-iters 20000 2>&1 | tail -3 | tee /tmp/r4q/e21.txt
+  --max-iters 21000 2>&1 | tail -3 | tee /tmp/r4q/e21.txt
 
 echo "=== B2.5 E19 coverage reseed + settle $(date) ==="
 mkdir -p exp/dss_e19_reseed
 timeout 3600 python -m dss_tpu.apps.reseed_coverage \
   --ckpt exp/dss_refine2/model_jet_pruned.npz --data /tmp/yoga6_data \
   --out exp/dss_e19_reseed/model.npz --platform cpu 2>&1 | tail -4
+# reseed keeps the source checkpoint's it scalar (18000 after refine2);
+# 21000 => 3000 settle iters — 15500 would have exited before training
 timeout 7200 python train_mvr.py --config configs/exp_e19_reseed.yml \
-  --max-iters 15500 2>&1 | tail -3 | tee /tmp/r4q/e19_train.txt
+  --max-iters 21000 2>&1 | tail -3 | tee /tmp/r4q/e19_train.txt
 timeout 1800 python -m dss_tpu.apps.refine_normals \
   --ckpt exp/dss_e19_reseed/model_best.npz --data /tmp/yoga6_data \
   --platform cpu 2>&1 | tail -3

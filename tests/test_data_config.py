@@ -396,6 +396,87 @@ class TestTrainCLIDispatch:
         mlog = (tmp_path / "exp" / "reseed_cli" / "metrics.jsonl").read_text()
         assert "n_reseeded" in mlog, "reseed event never fired/logged"
 
+    def test_reseed_coverage_grow_and_resume(self, tiny_dataset, tmp_path):
+        """apps/reseed_coverage GROWS the cloud (hull-carved respawns at
+        silhouette-coverage deficits, extend_checkpoint pads Adam moments/
+        filters) and train_mvr resumes from the grown checkpoint: restored
+        array shapes come from the checkpoint, not the config's
+        n_points_per_cloud template (the flagship reseed-settle path)."""
+        import yaml
+
+        from dss_tpu.apps.reseed_coverage import main as reseed_main
+        from dss_tpu.apps.train_mvr import main as train_main
+
+        root, _ = tiny_dataset
+        cfg = {
+            "name": "reseed_grow",
+            "data": {"data_dir": root, "type": "MVR"},
+            "model": {
+                "type": "point",
+                "model_kwargs": {
+                    "learn_colors": False,
+                    "learn_normals": True,
+                    "learn_points": True,
+                    "n_points_per_cloud": 120,
+                },
+            },
+            "renderer": {
+                "raster_params": {
+                    "image_size": 16,
+                    "points_per_pixel": 3,
+                    "cutoff_threshold": 1.0,
+                    "radii_backward_scaler": 10.0,
+                }
+            },
+            "training": {
+                "batch_size": 2,
+                "out_dir": str(tmp_path / "exp"),
+                "print_every": 100,
+                "validate_every": -1,
+                "visualize_every": -1,
+                "checkpoint_every": 100,
+            },
+        }
+        cfg_path = tmp_path / "reseed_grow.yml"
+        cfg_path.write_text(yaml.safe_dump(cfg))
+        train_main([
+            "--config", str(cfg_path), "--max-iters", "2",
+            "--platform", "cpu", "--seed", "0",
+        ])
+        ck_path = tmp_path / "exp" / "reseed_grow" / "model.npz"
+        ck = dict(np.load(ck_path))
+        # sabotage a spatial cap into floaters => silhouette-coverage hole
+        pts = ck["params/points"].copy()
+        cap = pts[:, 0] > -0.2
+        pts[cap] = np.array([3.0, 3.0, 3.0], np.float32)
+        ck["params/points"] = pts
+        np.savez(ck_path, **ck)
+
+        reseed_main([
+            "--ckpt", str(ck_path), "--data", root,
+            "--out", str(ck_path), "--n-new", "16", "--views", "4",
+            "--platform", "cpu",
+        ])
+        grown = dict(np.load(ck_path))
+        n_grown = grown["params/points"].shape[0]
+        assert n_grown > 120, "reseed_coverage found no deficit to fill"
+        # every per-point array (incl. Adam moments) was extended in lockstep
+        for key, v in grown.items():
+            if v.ndim >= 1 and v.shape[0] in (120,):
+                raise AssertionError(f"{key} not extended: {v.shape}")
+        # the it scalar survives (the queue accounts for it via --max-iters)
+        assert int(grown["__scalar__/it"]) == 2
+
+        # resume: config still says 120 points; shapes must follow the ckpt
+        train_main([
+            "--config", str(cfg_path), "--max-iters", "4",
+            "--platform", "cpu", "--seed", "0",
+        ])
+        ck2 = np.load(ck_path)
+        assert ck2["params/points"].shape == (n_grown, 3)
+        assert int(ck2["__scalar__/it"]) == 4
+        assert np.isfinite(ck2["params/points"]).all()
+
 
 class TestRefineNormalsCLI:
     def test_checkpoint_roundtrip(self, tmp_path):
