@@ -1,0 +1,76 @@
+"""Brute-MXU vs uniform-grid kNN A/B on the current platform.
+
+Context: build_knn routes P > 20k to grid_knn_points (the FRNN-equivalent
+path — the reference switches to FRNN at this scale).  On TPU the tradeoff
+is not obvious: brute force is one big MXU matmul + top_k (vectorizes),
+while the grid path is gather-heavy (~8 ns/row on the gather unit,
+CLAUDE.md).  The multi-scene 4x25k step regressed 4.01 -> 6.94 s/it when
+the grid dispatch landed; this pins the per-call numbers so the dispatch
+threshold is measured, not assumed.
+
+    python scripts/bench_knn.py [--platform cpu] [--k 11]
+"""
+import argparse
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--k", type=int, default=11,
+                    help="neighbors per query (build_knn uses knn_k-1 = 11)")
+    ap.add_argument("--sizes", type=int, nargs="+",
+                    default=[20000, 25000, 50000, 100000])
+    ap.add_argument("--reps", type=int, default=10)
+    args = ap.parse_args()
+
+    from dss_tpu.utils.platform import setup_jax
+
+    setup_jax(args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from dss_tpu.geometry.knn import grid_knn_points, knn_points
+    from dss_tpu.geometry.shapes import fibonacci_sphere
+
+    for p in args.sizes:
+        pts = jnp.asarray(fibonacci_sphere(p, 0.5), jnp.float32)
+        pts = pts + 0.003 * jax.random.normal(jax.random.PRNGKey(0), pts.shape)
+        mask = jnp.ones((p,), bool)
+        grid_res = max(4, math.ceil((p / 96.0) ** 0.5))
+
+        def run(fn):
+            out = fn()  # compile + warm
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                out = fn()
+            jax.block_until_ready(out)
+            return (time.perf_counter() - t0) / args.reps * 1e3, out
+
+        t_brute, (db, ib) = run(
+            lambda: knn_points(pts, pts, mask, mask, k=args.k,
+                               exclude_self=True)
+        )
+        t_grid, (dg, ig) = run(
+            lambda: grid_knn_points(pts, mask, k=args.k, exclude_self=True,
+                                    grid_res=grid_res, bucket_size=64)
+        )
+        # exactness margin: fraction of rows whose neighbor sets agree
+        agree = float(
+            (jnp.sort(ib, axis=-1) == jnp.sort(ig, axis=-1)).all(-1).mean()
+        )
+        print(
+            f"P={p:7d} brute {t_brute:8.2f} ms   grid {t_grid:8.2f} ms "
+            f"(res {grid_res}, agree {agree:.4f})",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
