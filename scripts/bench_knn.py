@@ -36,7 +36,17 @@ def main() -> None:
     import jax.numpy as jnp
 
     from dss_tpu.geometry.knn import grid_knn_points, knn_points
-    from dss_tpu.geometry.shapes import fibonacci_sphere
+
+    def fibonacci_sphere(n, radius):
+        import numpy as np
+
+        i = np.arange(n, dtype=np.float64)
+        phi = np.arccos(1 - 2 * (i + 0.5) / n)
+        theta = np.pi * (1 + 5**0.5) * i
+        pts = np.stack(
+            [np.sin(phi) * np.cos(theta),
+             np.sin(phi) * np.sin(theta), np.cos(phi)], axis=-1)
+        return (pts * radius).astype(np.float32)
 
     for p in args.sizes:
         pts = jnp.asarray(fibonacci_sphere(p, 0.5), jnp.float32)
