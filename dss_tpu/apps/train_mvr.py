@@ -282,6 +282,12 @@ def main(argv=None):
         return out
 
     # Train loop -------------------------------------------------------------
+    # --max-iters is the authoritative stop; widen the epoch range so the
+    # default --epochs cap can never silently truncate a resumed run short of
+    # it (E21 resumed at it=16152 and exited after one epoch at the 1000 cap).
+    if args.max_iters > 0:
+        needed = epoch_it + -(-max(args.max_iters - it, 0) // steps_per_epoch) + 1
+        args.epochs = max(args.epochs, needed)
     t_iter = time.time()
     stop = False
     epoch = epoch_it

@@ -12,6 +12,7 @@ pytorch3d knn_points / FRNN.
 from __future__ import annotations
 
 import math
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -84,7 +85,7 @@ def build_knn(
     points: jnp.ndarray,
     mask: Optional[jnp.ndarray],
     knn_k: int = 12,
-    grid_threshold: int = 20000,
+    grid_threshold: Optional[int] = None,
 ) -> KnnCache:
     """Neighbor cache for the surface losses.
 
@@ -100,6 +101,10 @@ def build_knn(
     """
     k = knn_k - 1  # reference drops the self column
     p = points.shape[0]
+    if grid_threshold is None:
+        # A/B knob for the dispatch threshold (bench_knn / multi-scene):
+        # the crossover is a measured property of the chip, not a constant.
+        grid_threshold = int(os.environ.get("DSS_KNN_GRID_THRESHOLD", 20000))
     if p > grid_threshold:
         grid_res = max(4, math.ceil((p / 96.0) ** 0.5))
         dists, idx = grid_knn_points(
