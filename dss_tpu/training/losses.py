@@ -89,22 +89,23 @@ def build_knn(
 ) -> KnnCache:
     """Neighbor cache for the surface losses.
 
-    Dense clouds (P > grid_threshold) use the uniform-grid kNN — the FRNN
-    path the reference switches to at exactly this scale (SurfaceLoss uses
-    `frnn.frnn_grid_points`, losses.py:157-180); brute force there pays a
-    P-wide `top_k` per query row (the 4 s/it multi-scene profile at 25k).
-    The grid is sized so mean occupancy of occupied surface cells stays
-    near bucket/2 = 32 (a surface cloud occupies ~3·res² cells); that same
-    sizing keeps cell/knn-radius ≈ sqrt(96π/3k) ≈ 2.9× at k=12
-    INDEPENDENT of P, so the 27-cell neighborhood covers the true
-    neighbors with constant margin at any scale.
+    Dispatch: brute MXU at every size by default.  The uniform-grid kNN
+    (the FRNN path the reference switches to above ~20k points, SurfaceLoss
+    `frnn.frnn_grid_points`, losses.py:157-180) is a measured 13-25×
+    REGRESSION on TPU (bench_knn: 25k 43 ms brute / 1080 ms grid, 100k
+    553 ms / 3877 ms): the grid's 27-cell candidate loads are gather-bound
+    (~8 ns/row on the gather unit), while brute force is one MXU distance
+    matmul + vectorized top_k.  The GPU intuition behind FRNN does not
+    transfer.  Grid stays available for explicit dispatch (parity-tested
+    `test_build_knn_grid_dispatch_matches_brute`) and via the
+    DSS_KNN_GRID_THRESHOLD env knob for re-measurement on other hardware.
     """
     k = knn_k - 1  # reference drops the self column
     p = points.shape[0]
     if grid_threshold is None:
-        # A/B knob for the dispatch threshold (bench_knn / multi-scene):
-        # the crossover is a measured property of the chip, not a constant.
-        grid_threshold = int(os.environ.get("DSS_KNN_GRID_THRESHOLD", 20000))
+        grid_threshold = int(
+            os.environ.get("DSS_KNN_GRID_THRESHOLD", 1_000_000_000)
+        )
     if p > grid_threshold:
         grid_res = max(4, math.ceil((p / 96.0) ** 0.5))
         dists, idx = grid_knn_points(
