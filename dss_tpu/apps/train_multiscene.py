@@ -67,6 +67,9 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", type=str, default=None)
     ap.add_argument("--json-out", type=str, default=None)
+    ap.add_argument("--profile-dir", type=str, default=None,
+                    help="capture a jax.profiler trace of iterations 10-12 "
+                         "into this directory (parse with scripts/xplane_top.py)")
     ap.add_argument(
         "--dispatch", choices=["folded", "vmap"], default="folded",
         help="folded: all S·V views in ONE kernel launch "
@@ -217,11 +220,16 @@ def main(argv=None):
 
     times = []
     for i in range(1, args.iters):
+        if args.profile_dir and i == 10:
+            jax.profiler.start_trace(args.profile_dir)
         t0 = time.perf_counter()
         params, filters, opt_state, loss = train_step(
             params, filters, opt_state, jnp.asarray(i, jnp.int32)
         )
         jax.block_until_ready(loss)
+        if args.profile_dir and i == 12:
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {args.profile_dir}", flush=True)
         times.append(time.perf_counter() - t0)
         if i % 10 == 0:
             print(f"it {i} loss {float(loss):.4f} ({times[-1]:.3f}s/it)",
