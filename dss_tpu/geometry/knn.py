@@ -35,7 +35,8 @@ def _sq_dists(q: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(d, 0.0)
 
 
-@partial(jax.jit, static_argnames=("k", "exclude_self", "query_chunk"))
+@partial(jax.jit, static_argnames=("k", "exclude_self", "query_chunk",
+                                   "approx", "recall_target"))
 def knn_points(
     query: jnp.ndarray,
     ref: jnp.ndarray,
@@ -44,6 +45,8 @@ def knn_points(
     k: int = 8,
     exclude_self: bool = False,
     query_chunk: int = 4096,
+    approx: bool = False,
+    recall_target: float = 0.95,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Masked brute-force kNN.
 
@@ -51,6 +54,13 @@ def knn_points(
       query: (Q, 3); ref: (P, 3).
       query_mask/ref_mask: validity masks; invalid refs never matched.
       exclude_self: drop the zero-distance self match (ref is query).
+      approx: select neighbors with `lax.approx_min_k` (the TPU PartialReduce
+        custom call) instead of `lax.top_k`.  On TPU, top_k lowers to a FULL
+        bitonic sort of every P-wide distance row — the multi-scene profile
+        showed 3.5 s/step of (4, 4096, 25000) sorts, 87% of the step; the
+        partial reduce is a single pass at `recall_target` expected recall.
+        On CPU XLA falls back to the exact top-k (verified bitwise), so
+        test parity is unaffected.
     Returns:
       (sq_dists (Q, k), idx (Q, k) int32) — ascending; invalid slots inf/-1.
     """
@@ -70,8 +80,13 @@ def knn_points(
         if exclude_self:
             same = qidx[:, None] == jnp.arange(pn)[None, :]
             d = jnp.where(same, INF, d)
-        neg_top, idx = jax.lax.top_k(-d, k_eff)
-        dists = -neg_top
+        if approx:
+            dists, idx = jax.lax.approx_min_k(
+                d, k_eff, recall_target=recall_target
+            )
+        else:
+            neg_top, idx = jax.lax.top_k(-d, k_eff)
+            dists = -neg_top
         idx = jnp.where(jnp.isinf(dists), -1, idx)
         if k_eff < k:
             pad = k - k_eff

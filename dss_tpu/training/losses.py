@@ -113,8 +113,13 @@ def build_knn(
             grid_res=grid_res, bucket_size=64,
         )
     else:
+        # DSS_KNN_APPROX=1 selects neighbors with approx_min_k instead of
+        # the sort-lowered top_k (the 3.5 s/step multi-scene cost on TPU;
+        # exact on CPU).  Opt-in until the chip A/B (speed + quality) lands.
+        approx = bool(int(os.environ.get("DSS_KNN_APPROX", "0")))
         dists, idx = knn_points(
-            points, points, mask, mask, k=k, exclude_self=True
+            points, points, mask, mask, k=k, exclude_self=True,
+            approx=approx,
         )
     nn = masked_gather(points, idx)
     valid = idx >= 0

@@ -49,35 +49,58 @@ def main() -> None:
         return (pts * radius).astype(np.float32)
 
     for p in args.sizes:
-        pts = jnp.asarray(fibonacci_sphere(p, 0.5), jnp.float32)
-        pts = pts + 0.003 * jax.random.normal(jax.random.PRNGKey(0), pts.shape)
+        base = jnp.asarray(fibonacci_sphere(p, 0.5), jnp.float32)
+        # DISTINCT input per rep: identical repeat dispatches measured
+        # impossibly fast on the relay (20k brute read 0.04 ms — result
+        # caching somewhere below us), so each rep gets its own jittered
+        # cloud, uploaded and blocked before the clock starts.
+        clouds = [
+            jax.block_until_ready(
+                base + 0.003 * jax.random.normal(jax.random.PRNGKey(i),
+                                                 base.shape)
+            )
+            for i in range(args.reps)
+        ]
+        pts = clouds[0]
         mask = jnp.ones((p,), bool)
         grid_res = max(4, math.ceil((p / 96.0) ** 0.5))
 
         def run(fn):
-            out = fn()  # compile + warm
+            out = fn(clouds[0])  # compile + warm
             jax.block_until_ready(out)
             t0 = time.perf_counter()
-            for _ in range(args.reps):
-                out = fn()
+            for i in range(args.reps):
+                out = fn(clouds[i])
             jax.block_until_ready(out)
             return (time.perf_counter() - t0) / args.reps * 1e3, out
 
         t_brute, (db, ib) = run(
-            lambda: knn_points(pts, pts, mask, mask, k=args.k,
-                               exclude_self=True)
+            lambda c: knn_points(c, c, mask, mask, k=args.k,
+                                 exclude_self=True)
+        )
+        t_approx, (da, ia) = run(
+            lambda c: knn_points(c, c, mask, mask, k=args.k,
+                                 exclude_self=True, approx=True)
         )
         t_grid, (dg, ig) = run(
-            lambda: grid_knn_points(pts, mask, k=args.k, exclude_self=True,
-                                    grid_res=grid_res, bucket_size=64)
+            lambda c: grid_knn_points(c, mask, k=args.k, exclude_self=True,
+                                      grid_res=grid_res, bucket_size=64)
         )
         # exactness margin: fraction of rows whose neighbor sets agree
-        agree = float(
-            (jnp.sort(ib, axis=-1) == jnp.sort(ig, axis=-1)).all(-1).mean()
+        # (grid/approx outputs are for clouds[reps-1] == the last rep; use
+        # the matching exact output by re-running brute on that cloud)
+        de, ie = knn_points(clouds[-1], clouds[-1], mask, mask, k=args.k,
+                            exclude_self=True)
+        agree_g = float(
+            (jnp.sort(ie, axis=-1) == jnp.sort(ig, axis=-1)).all(-1).mean()
+        )
+        agree_a = float(
+            (jnp.sort(ie, axis=-1) == jnp.sort(ia, axis=-1)).all(-1).mean()
         )
         print(
-            f"P={p:7d} brute {t_brute:8.2f} ms   grid {t_grid:8.2f} ms "
-            f"(res {grid_res}, agree {agree:.4f})",
+            f"P={p:7d} brute {t_brute:8.2f} ms   approx {t_approx:8.2f} ms "
+            f"(agree {agree_a:.4f})   grid {t_grid:8.2f} ms "
+            f"(res {grid_res}, agree {agree_g:.4f})",
             flush=True,
         )
 

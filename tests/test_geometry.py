@@ -144,6 +144,25 @@ class TestKnn:
         d2, i2 = knn_points(pts, pts, k=3, query_chunk=4096)
         np.testing.assert_allclose(d1, d2, atol=1e-6)
 
+    def test_knn_approx_matches_exact(self):
+        # approx=True routes selection through lax.approx_min_k (the TPU
+        # PartialReduce that replaces the sort-lowered top_k, the 3.5 s/step
+        # multi-scene cost); on CPU XLA's fallback is exact, so the outputs
+        # must match top_k bitwise — masks, self-exclusion and chunking
+        # included.
+        key = jax.random.PRNGKey(11)
+        pts = jax.random.normal(key, (300, 3))
+        mask = jnp.ones((300,), bool).at[13].set(False)
+        de, ie = knn_points(pts, pts, mask, mask, k=5, exclude_self=True)
+        da, ia = knn_points(pts, pts, mask, mask, k=5, exclude_self=True,
+                            approx=True)
+        np.testing.assert_allclose(de, da, atol=0)
+        np.testing.assert_array_equal(ie, ia)
+        # chunked path too
+        dc, ic = knn_points(pts, pts, mask, mask, k=5, exclude_self=True,
+                            approx=True, query_chunk=64)
+        np.testing.assert_allclose(de, dc, atol=1e-6)
+
     def test_grid_knn_matches_bruteforce(self):
         key = jax.random.PRNGKey(6)
         pts = jax.random.normal(key, (500, 3))
