@@ -13,9 +13,17 @@ silhouette gradients, they are just wrong.  Measured on the yoga6 flagship
 cloud: removes 9/5000 points, Hausdorff 0.424 -> 0.150, chamfer 0.002728 ->
 0.002650 (VERDICT r3 ask #2).
 
+With --depth-tol the INTERIOR-floater criterion is ANDed in
+(`prune_depth_inconsistent`): points never on the front depth surface in
+any view are dropped.  Requires the dataset's dense depth maps (the
+silhouette hull cannot see points strictly inside it).  Measured on the
+depth-supervised E24 cloud: chamfer 0.001231 -> 0.000570, Hausdorff
+0.1172 -> 0.0788 (BENCHMARKS.md round 5).
+
 Usage:
   python -m dss_tpu.apps.prune_floaters --ckpt exp/dss_e15c_refine/model_jet.npz \
-      --data /tmp/yoga6_data [--outside-frac 0.09] [--platform cpu]
+      --data /tmp/yoga6_data [--outside-frac 0.09] [--depth-tol 0.03] \
+      [--depth-min-views 3] [--platform cpu]
 """
 from __future__ import annotations
 
@@ -33,6 +41,13 @@ def main(argv=None) -> None:
                         help="output npz (default: <ckpt base>_pruned.npz)")
     parser.add_argument("--outside-frac", type=float, default=0.09)
     parser.add_argument("--mask-threshold", type=float, default=0.5)
+    parser.add_argument(
+        "--depth-tol", type=float, default=None,
+        help="also prune interior floaters: keep only points within this "
+        "view-space depth tolerance of the dataset's dense front depth in "
+        ">= --depth-min-views views",
+    )
+    parser.add_argument("--depth-min-views", type=int, default=1)
     parser.add_argument("--platform", default=None)
     args = parser.parse_args(argv)
 
@@ -43,10 +58,13 @@ def main(argv=None) -> None:
 
     from dss_tpu.data.dataset import MVRDataset
     from dss_tpu.geometry.cameras import cameras_from_matrix
-    from dss_tpu.models.point_model import prune_outside_silhouette
+    from dss_tpu.models.point_model import (
+        prune_depth_inconsistent,
+        prune_outside_silhouette,
+    )
     from dss_tpu.training.metrics import chamfer_hausdorff
 
-    ds = MVRDataset(args.data)
+    ds = MVRDataset(args.data, load_dense_depth=args.depth_tol is not None)
     cams = cameras_from_matrix(ds.camera_mat, **ds.cameras_params)
 
     ck = dict(np.load(args.ckpt))
@@ -65,6 +83,19 @@ def main(argv=None) -> None:
         outside_frac=args.outside_frac,
         mask_threshold=args.mask_threshold,
     )
+    if args.depth_tol is not None:
+        keep_depth = prune_depth_inconsistent(
+            pts,
+            cams,
+            jnp.asarray(ds.get_depths()),
+            tol=args.depth_tol,
+            min_views=args.depth_min_views,
+        )
+        print(
+            f"depth-consistency drops "
+            f"{int(jnp.sum(active & ~keep_depth))} active points"
+        )
+        keep = keep & keep_depth
     new_active = active & keep
     n_pruned = int(jnp.sum(active & ~keep))
     print(f"pruned {n_pruned}/{int(active.sum())} active points")

@@ -219,18 +219,26 @@ def main(argv=None):
     print(f"compiled in {time.perf_counter() - t0:.1f}s, loss0={float(loss):.4f}")
 
     times = []
+    tracing = False
     for i in range(1, args.iters):
         if args.profile_dir and i == 10:
             jax.profiler.start_trace(args.profile_dir)
+            tracing = True
         t0 = time.perf_counter()
         params, filters, opt_state, loss = train_step(
             params, filters, opt_state, jnp.asarray(i, jnp.int32)
         )
         jax.block_until_ready(loss)
-        if args.profile_dir and i == 12:
+        if tracing and i == 12:
             jax.profiler.stop_trace()
+            tracing = False
             print(f"profiler trace written to {args.profile_dir}", flush=True)
         times.append(time.perf_counter() - t0)
+    if tracing:
+        # --iters too small to reach the stop step: close the trace so the
+        # xplane is still written instead of dying with the process.
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {args.profile_dir}", flush=True)
         if i % 10 == 0:
             print(f"it {i} loss {float(loss):.4f} ({times[-1]:.3f}s/it)",
                   flush=True)

@@ -61,6 +61,17 @@ def knn_points(
         partial reduce is a single pass at `recall_target` expected recall.
         On CPU XLA falls back to the exact top-k (verified bitwise), so
         test parity is unaffected.
+
+        The PartialReduce keeps per-SEGMENT winners, so its recall guarantee
+        assumes the minima are spread uniformly over the reduced axis.  Point
+        clouds violate that badly: mesh-sampled / fibonacci orderings place
+        spatial neighbors at ADJACENT indices, so a query's true k
+        nearest all land in one or two segments and collide (measured
+        all-k row agreement at k=11: 0.005 at P=25k, ~0 at P=100k —
+        bench_knn r4).  Fix: shuffle the reference axis with a fixed
+        pseudo-random permutation before the reduce and map indices back.
+        The permutation is a compile-time constant (fixed key), the extra
+        cost is one (P,3) gather + one (Q,k) index remap.
     Returns:
       (sq_dists (Q, k), idx (Q, k) int32) — ascending; invalid slots inf/-1.
     """
@@ -73,17 +84,29 @@ def knn_points(
 
     k_eff = min(k + (1 if exclude_self else 0), pn)
 
+    if approx:
+        # De-correlate index order from spatial order (see docstring): a
+        # fixed-key permutation of the reference axis, constant-folded by
+        # XLA.  Selection happens in permuted space; indices map back below.
+        perm = jax.random.permutation(jax.random.PRNGKey(0x5eed), pn)
+        ref = ref[perm]
+        ref_mask = ref_mask[perm]
+        ref_ids = perm  # permuted-slot -> original index
+    else:
+        ref_ids = jnp.arange(pn)
+
     def chunk_fn(args):
         q, qmask, qidx = args
         d = _sq_dists(q, ref)
         d = jnp.where(ref_mask[None, :], d, INF)
         if exclude_self:
-            same = qidx[:, None] == jnp.arange(pn)[None, :]
+            same = qidx[:, None] == ref_ids[None, :]
             d = jnp.where(same, INF, d)
         if approx:
-            dists, idx = jax.lax.approx_min_k(
+            dists, slot = jax.lax.approx_min_k(
                 d, k_eff, recall_target=recall_target
             )
+            idx = ref_ids[slot]
         else:
             neg_top, idx = jax.lax.top_k(-d, k_eff)
             dists = -neg_top

@@ -353,3 +353,47 @@ def prune_outside_silhouette(
     sampled = sample_image_at_ndc(jnp.asarray(masks, jnp.float32), p)  # (V, P)
     views_outside = jnp.sum(sampled <= mask_threshold, axis=0)
     return views_outside <= outside_frac * masks.shape[0]
+
+
+def prune_depth_inconsistent(
+    points: jnp.ndarray,
+    cameras: FoVPerspectiveCameras,
+    depth_maps: jnp.ndarray,
+    tol: float = 0.02,
+    min_views: int = 1,
+) -> jnp.ndarray:
+    """GT-cloud-free INTERIOR-floater pruning by front-depth consistency.
+
+    The silhouette test (`prune_outside_silhouette`) cannot see points
+    strictly INSIDE the visual hull — an interior point projects inside the
+    mask in every view.  But the dataset's dense per-view depth maps
+    (training data, reference dataset.py:71-75) expose them: a true surface
+    point lies ON the front depth surface (|view-space z − depth(pixel)| ≤
+    tol) in at least the views that see its patch, while an interior (or
+    hull-interior hovering) point is off the front surface in EVERY view —
+    behind it everywhere (interior) or in front without generating the
+    depth (hovering).
+
+    Measured on the depth-supervised flagship cloud (BENCHMARKS.md round 5):
+    the silhouette prune removes 0/5000 while pred→GT outliers cap Hausdorff
+    at 0.117; this prune removes the ~1.5k never-on-surface points —
+    chamfer 0.001231 → 0.000570, Hausdorff 0.1172 → 0.0788 (tol 0.02).
+
+    Args:
+      points: (P, 3) world-space positions.
+      cameras: a batch of V cameras.
+      depth_maps: (V, S, S) per-view front depth, zfar where empty.
+      tol: view-space depth agreement tolerance (world units).
+      min_views: keep a point seen on-surface in >= this many views.
+
+    Returns:
+      (P,) bool keep-mask (True = keep).
+    """
+    view_z = cameras.transform_points_world_to_view(points)[..., 2]  # (V, P)
+    p_screen = cameras.transform_points_screen(points)  # (V, P, 3)
+    p = jnp.clip(-p_screen[..., :2], -1.0, 1.0)
+    sampled = sample_image_at_ndc(
+        jnp.asarray(depth_maps, jnp.float32), p
+    )  # (V, P)
+    near = jnp.abs(view_z - sampled) <= tol
+    return jnp.sum(near, axis=0) >= min_views

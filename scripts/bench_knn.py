@@ -53,20 +53,21 @@ def main() -> None:
         # DISTINCT input per rep: identical repeat dispatches measured
         # impossibly fast on the relay (20k brute read 0.04 ms — result
         # caching somewhere below us), so each rep gets its own jittered
-        # cloud, uploaded and blocked before the clock starts.
+        # cloud, uploaded and blocked before the clock starts.  One EXTRA
+        # cloud (index reps) is dedicated to warmup so the timed loop's
+        # first rep is not a re-dispatch of an already-computed array.
         clouds = [
             jax.block_until_ready(
                 base + 0.003 * jax.random.normal(jax.random.PRNGKey(i),
                                                  base.shape)
             )
-            for i in range(args.reps)
+            for i in range(args.reps + 1)
         ]
-        pts = clouds[0]
         mask = jnp.ones((p,), bool)
         grid_res = max(4, math.ceil((p / 96.0) ** 0.5))
 
         def run(fn):
-            out = fn(clouds[0])  # compile + warm
+            out = fn(clouds[args.reps])  # compile + warm on the spare cloud
             jax.block_until_ready(out)
             t0 = time.perf_counter()
             for i in range(args.reps):
@@ -86,21 +87,29 @@ def main() -> None:
             lambda c: grid_knn_points(c, mask, k=args.k, exclude_self=True,
                                       grid_res=grid_res, bucket_size=64)
         )
-        # exactness margin: fraction of rows whose neighbor sets agree
-        # (grid/approx outputs are for clouds[reps-1] == the last rep; use
-        # the matching exact output by re-running brute on that cloud)
-        de, ie = knn_points(clouds[-1], clouds[-1], mask, mask, k=args.k,
+        # exactness margins against brute on the SAME cloud (the timed
+        # loops end on clouds[reps-1]).  Two metrics: `agree` = fraction of
+        # rows whose FULL k-sets match (strict), `recall` = mean fraction
+        # of true neighbors recovered per row (what the regularizer's
+        # surface estimate actually depends on).
+        last = clouds[args.reps - 1]
+        de, ie = knn_points(last, last, mask, mask, k=args.k,
                             exclude_self=True)
-        agree_g = float(
-            (jnp.sort(ie, axis=-1) == jnp.sort(ig, axis=-1)).all(-1).mean()
-        )
-        agree_a = float(
-            (jnp.sort(ie, axis=-1) == jnp.sort(ia, axis=-1)).all(-1).mean()
-        )
+
+        def agree_recall(i_test):
+            match = jnp.sort(ie, axis=-1) == jnp.sort(i_test, axis=-1)
+            agree = float(match.all(-1).mean())
+            hits = (i_test[:, :, None] == ie[:, None, :]).any(-1)
+            recall = float(hits.mean())
+            return agree, recall
+
+        agree_g, recall_g = agree_recall(ig)
+        agree_a, recall_a = agree_recall(ia)
         print(
             f"P={p:7d} brute {t_brute:8.2f} ms   approx {t_approx:8.2f} ms "
-            f"(agree {agree_a:.4f})   grid {t_grid:8.2f} ms "
-            f"(res {grid_res}, agree {agree_g:.4f})",
+            f"(agree {agree_a:.4f}, recall {recall_a:.4f})   "
+            f"grid {t_grid:8.2f} ms "
+            f"(res {grid_res}, agree {agree_g:.4f}, recall {recall_g:.4f})",
             flush=True,
         )
 

@@ -494,6 +494,66 @@ def test_prune_outside_silhouette():
     assert not bool(keep[400:].any()), "floaters must be pruned"
 
 
+def test_prune_depth_inconsistent():
+    """Interior floaters project inside the silhouette in EVERY view (the
+    hull test keeps them) but never lie on the front depth surface; the
+    depth-consistency prune removes exactly those.  True surface points
+    are front-most in at least one of 8 surrounding views and survive."""
+    from dss_tpu.models.point_model import (
+        prune_depth_inconsistent,
+        prune_outside_silhouette,
+    )
+
+    # dense enough that every in-silhouette pixel receives a FRONT-surface
+    # point: at 4k pts the z-buffer has shadow gaps whose min depth is the
+    # back surface, which a mid-depth floater can accidentally match
+    n = 12000
+    pts = jnp.asarray(fibonacci_sphere(n, 0.5))
+    r, t = look_at_view_transform(
+        dist=jnp.full((8,), 2.0),
+        elev=jnp.asarray([0.0, 20.0, -20.0, 40.0, 0.0, 15.0, -30.0, 10.0]),
+        azim=jnp.asarray([0.0, 45.0, 90.0, 135.0, 180.0, 225.0, 270.0, 315.0]),
+    )
+    cams = FoVPerspectiveCameras.create(r, t, fov=60.0)
+
+    # analytic point z-buffer with the renderer's NDC convention: project,
+    # scatter-min view-space z per pixel, background = zfar
+    size, zfar = 64, 10.0
+    view_z = cams.transform_points_world_to_view(pts)[..., 2]  # (V, P)
+    p_ndc = jnp.clip(-cams.transform_points_screen(pts)[..., :2], -1.0, 1.0)
+    ix = jnp.clip(
+        jnp.round((p_ndc[..., 0] + 1.0) * (size / 2.0) - 0.5), 0, size - 1
+    ).astype(jnp.int32)
+    iy = jnp.clip(
+        jnp.round((p_ndc[..., 1] + 1.0) * (size / 2.0) - 0.5), 0, size - 1
+    ).astype(jnp.int32)
+    depth = jnp.full((8, size, size), zfar)
+    depth = jax.vmap(
+        lambda d, yy, xx, z: d.at[yy, xx].min(z)
+    )(depth, iy, ix, view_z)
+
+    # interior floaters: strictly inside the hull, so every view's mask
+    # contains them — but they sit BEHIND the front surface everywhere
+    interior = jnp.asarray(
+        [[0.0, 0.0, 0.0], [0.1, -0.05, 0.1], [-0.15, 0.1, 0.0]]
+    )
+    allpts = jnp.concatenate([pts, interior])
+
+    masks = (depth < zfar).astype(jnp.float32)
+    keep_hull = prune_outside_silhouette(allpts, cams, masks)
+    assert bool(keep_hull[n:].all()), (
+        "silhouette hull must NOT catch interior floaters (that blindness "
+        "is what the depth criterion exists for)"
+    )
+
+    keep = prune_depth_inconsistent(allpts, cams, depth, tol=0.05)
+    # ~1% of surface points land on silhouette-edge pixels in all their
+    # front-facing views, where bilinear sampling mixes the zfar background;
+    # the production recipe absorbs this with denser maps + min_views
+    assert float(keep[:n].mean()) > 0.98, "surface points must survive"
+    assert not bool(keep[n:].any()), "interior floaters must be pruned"
+
+
 def test_reseed_coverage_fills_hole():
     """Delete a cap of a sphere; masks rendered from the FULL sphere leave a
     silhouette deficit there.  Reseeding must propose points near the hole
