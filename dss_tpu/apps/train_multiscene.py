@@ -234,14 +234,14 @@ def main(argv=None):
             tracing = False
             print(f"profiler trace written to {args.profile_dir}", flush=True)
         times.append(time.perf_counter() - t0)
+        if i % 10 == 0:
+            print(f"it {i} loss {float(loss):.4f} ({times[-1]:.3f}s/it)",
+                  flush=True)
     if tracing:
         # --iters too small to reach the stop step: close the trace so the
         # xplane is still written instead of dying with the process.
         jax.profiler.stop_trace()
         print(f"profiler trace written to {args.profile_dir}", flush=True)
-        if i % 10 == 0:
-            print(f"it {i} loss {float(loss):.4f} ({times[-1]:.3f}s/it)",
-                  flush=True)
 
     steady = float(np.median(times[5:])) if len(times) > 10 else float(
         np.median(times)

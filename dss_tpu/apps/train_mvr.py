@@ -67,6 +67,12 @@ def main(argv=None):
     parser.add_argument("--reseed-views", type=int, default=16,
                         help="evenly spaced views rendered for deficit "
                              "detection at each reseed event")
+    parser.add_argument("--data-dir", type=str, default=None,
+                        help="override cfg data.data_dir (run the same "
+                             "recipe on another dataset without editing "
+                             "configs)")
+    parser.add_argument("--name", type=str, default=None,
+                        help="override cfg name (output subdirectory)")
     parser.add_argument("--steps-per-dispatch", type=int, default=-1,
                         help="run N train steps per device dispatch (one "
                              "lax.scan program): amortizes the TPU-relay "
@@ -81,6 +87,10 @@ def main(argv=None):
 
     t_start = time.time()
     cfg = config_mod.load_config(args.config)
+    if args.data_dir is not None:
+        cfg["data"]["data_dir"] = args.data_dir
+    if args.name is not None:
+        cfg["name"] = args.name
     out_dir = os.path.join(cfg["training"]["out_dir"], cfg["name"])
     os.makedirs(out_dir, exist_ok=True)
     config_mod.save_config(cfg, os.path.join(out_dir, "config.yaml"))

@@ -1736,7 +1736,15 @@ def _bwd_tile_budget(tile_config, p=None):
     # overflow.
     if mt_bwd <= 0:  # auto; an explicit value (ADVICE r2) is used verbatim
         mt_bwd = max(mt, 4) if (p is None or p <= 20000) else min(mt, 2)
-    return t, max(cap, 2048), chunk, mt_bwd, (pcb if pcb > 0 else None)
+    cap_bwd = max(cap, 2048)
+    if p is not None and 6000 < p <= 20000:
+        # Concentrated mid-size clouds: busiest-tile backward occupancy
+        # measured 0.56·P early-anneal (scripts/diag_overflow.py, E20 10k
+        # cloud — the 2048 floor dropped 27.8k pairs/iter there); 0.75·P
+        # covers it with margin.  P <= 6k fits the 2048 floor; P > 20k uses
+        # the dense-cloud rule (radii shrink with spacing).
+        cap_bwd = max(cap_bwd, (-(-(3 * p) // 4) + 127) // 128 * 128)
+    return t, cap_bwd, chunk, mt_bwd, (pcb if pcb > 0 else None)
 
 
 def _rasterize_with_bwd_table(image_size, points_per_pixel, tile_config,

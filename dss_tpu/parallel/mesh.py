@@ -71,14 +71,18 @@ def make_sharded_train_step(train_step, mesh: Mesh, axis: str = "views"):
     the state stays replicated.  GSPMD propagates shardings through the render
     vmap (views axis) and inserts the gradient all-reduce over ICI."""
 
-    def step(state, cameras, lights, img, mask_img):
+    def step(state, cameras, lights, img, mask_img, depth_img=None):
         state = replicate(state, mesh)
         cameras = shard_views(cameras, mesh, axis)
         img = jax.device_put(img, NamedSharding(mesh, P(axis)))
         mask_img = jax.device_put(mask_img, NamedSharding(mesh, P(axis)))
         if lights is not None:
             lights = shard_views(lights, mesh, axis)
-        return train_step(state, cameras, lights, img, mask_img)
+        if depth_img is not None:
+            depth_img = jax.device_put(
+                depth_img, NamedSharding(mesh, P(axis))
+            )
+        return train_step(state, cameras, lights, img, mask_img, depth_img)
 
     return step
 
@@ -122,10 +126,10 @@ def make_shardmap_train_step(
     n = mesh.shape[axis]
 
     def local_grad(params, filters, cameras, lights, img, mask_img, it,
-                   mask_plain=None):
+                   depth_img=None, mask_plain=None):
         (total, (parts, new_filters)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(params, filters, cameras, lights, img, mask_img, it, None,
+        )(params, filters, cameras, lights, img, mask_img, it, depth_img,
           mask_plain)
         grads = jax.lax.pmean(grads, axis)
         total = jax.lax.pmean(total, axis)
@@ -161,10 +165,13 @@ def make_shardmap_train_step(
         )
 
     @jax.jit
-    def step(state, cameras, lights, img, mask_img, mask_plain=None):
+    def step(state, cameras, lights, img, mask_img, depth_img=None,
+             mask_plain=None):
         # With settings.tiled_io, img/mask_img are the PRE-TILED targets
         # (leading dim still the view batch → same sharding spec) and
         # mask_plain is the untiled mask for the in-mask sampling.
+        # depth_img (view-batched dense depth, flagship lambda_depth > 0)
+        # shards on the view axis like img.
         n_views = img.shape[0]
         # lights-is-None is static per trace; build matching arg/spec lists.
         args = [state.params, state.filters, cameras]
@@ -172,9 +179,13 @@ def make_shardmap_train_step(
         if lights is not None:
             args.append(lights)
             specs.append(tree_specs(lights, n_views))
+        has_depth = depth_img is not None
         has_plain = mask_plain is not None
         tail_args = [img, mask_img, state.step]
         tail_specs = [view_spec, view_spec, rep]
+        if has_depth:
+            tail_args.append(depth_img)
+            tail_specs.append(view_spec)
         if has_plain:
             tail_args.append(mask_plain)
             tail_specs.append(view_spec)
@@ -184,12 +195,11 @@ def make_shardmap_train_step(
                 lt, *rest = rest
             else:
                 lt = None
-            if has_plain:
-                img_, mask_, it, plain_ = rest
-            else:
-                (img_, mask_, it), plain_ = rest, None
+            img_, mask_, it, *rest = rest
+            depth_ = rest.pop(0) if has_depth else None
+            plain_ = rest.pop(0) if has_plain else None
             return local_grad(params, filters, cams, lt, img_, mask_, it,
-                              plain_)
+                              depth_img=depth_, mask_plain=plain_)
 
         sharded = shard_map(
             local,

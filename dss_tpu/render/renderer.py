@@ -52,9 +52,19 @@ def _tile_config(p: int, settings: RasterSettings):
     p_cap = -(-p // settings.bin_chunk) * settings.bin_chunk
     tile_size = min(settings.tile_size, settings.image_size)
     n_tiles = (settings.image_size // tile_size) ** 2
+    # Concentrated mid-size clouds (6k < P <= 20k): the busiest tile's
+    # candidate count scales ~linearly with P — measured 0.29·P forward /
+    # 0.56·P backward on the E20 10k cloud (scripts/diag_overflow.py), so
+    # the fixed 2048 floor silently dropped 27.8k backward pairs/iter at
+    # 10k points (BENCHMARKS.md round 4).  0.4·P covers the forward worst
+    # case with margin; _bwd_tile_budget raises the backward table to
+    # 0.75·P.  At P <= 6k the 2048 floor holds (5k flagship measured
+    # max-tile 1246 fwd / 2389 bwd early-anneal; only a <=0.1% transient
+    # drop) — kept unchanged so the flagship bench pays no extra block DMA.
+    conc = (-(-(2 * p) // 5) + 127) // 128 * 128 if 6000 < p <= 20000 else 0
     bin_capacity = min(
         p_cap,
-        max(settings.bin_capacity, 2048, 4 * p_cap // max(n_tiles, 1)),
+        max(settings.bin_capacity, 2048, 4 * p_cap // max(n_tiles, 1), conc),
     )
     if settings.max_tiles_per_splat > 0:
         max_tiles = max_tiles_bwd = settings.max_tiles_per_splat

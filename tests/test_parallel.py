@@ -334,7 +334,8 @@ class TestShardMapTrainStep:
         )
         s_til, m_til = tiled_step(
             state0, cams, None,
-            tile_images(img, 8), tile_images(mask_img, 8), mask_img,
+            tile_images(img, 8), tile_images(mask_img, 8),
+            mask_plain=mask_img,
         )
         np.testing.assert_allclose(
             float(m_ref["loss"]), float(m_til["loss"]), rtol=1e-5

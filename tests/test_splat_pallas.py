@@ -173,6 +173,39 @@ class TestOverflowSurfacing:
         assert "bin_overflow" in metrics
         assert int(metrics["bin_overflow"]) == 0
 
+    def test_caps_scale_with_point_budget(self):
+        """Default bin capacities must scale with the live point budget in
+        the concentrated regime (6k < P <= 20k): the busiest tile's
+        candidate count measured ~0.29·P forward / ~0.56·P backward on the
+        E20 10k cloud (scripts/diag_overflow.py) — the old fixed 2048 floor
+        silently dropped 27.8k backward pairs/iter (BENCHMARKS.md round 4).
+        P <= 6k keeps 2048 (5k flagship measured max 1246/2389; no extra
+        block DMA on the headline bench); P > 20k keeps the dense-cloud
+        rule (radii shrink with point spacing)."""
+        from dss_tpu.ops.splat_pallas import _bwd_tile_budget
+        from dss_tpu.render.renderer import _tile_config
+
+        st = RasterSettings(image_size=512, points_per_pixel=5,
+                            backend="pallas")
+
+        def caps(p):
+            tc = _tile_config(p, st)
+            return tc[1], _bwd_tile_budget(tc, p)[1]
+
+        fwd5, bwd5 = caps(5000)
+        fwd10, bwd10 = caps(10000)
+        fwd20, bwd20 = caps(20000)
+        fwd100, bwd100 = caps(100000)
+        # 5k regime unchanged (the headline bench shape)
+        assert (fwd5, bwd5) == (2048, 2048)
+        # 10k/20k cover the measured occupancies with margin
+        assert fwd10 >= 2874 and bwd10 >= 5616  # measured @10k, scaler 5
+        assert fwd20 >= 2 * 2874 and bwd20 >= 2 * 5616  # ~linear in P
+        # monotone within the concentrated regime
+        assert fwd20 >= fwd10 and bwd20 >= bwd10
+        # dense rule untouched (4·P/n_tiles, measured fine at 100k)
+        assert fwd100 == 4 * 100096 // 64 // 128 * 128 or fwd100 >= 6144
+
 
 class TestForwardParity:
     @pytest.mark.parametrize("image_size", [32, 64])
