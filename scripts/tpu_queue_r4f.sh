@@ -14,6 +14,9 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/r4q
+# parts G/H gate on this pid (ADVICE r4: it was never written, so their
+# wait loops exited immediately — two concurrent chip consumers)
+echo $$ > /tmp/r4f.pid
 
 echo "=== F1. kNN dispatch A/B (brute MXU vs grid) $(date) ==="
 timeout 2400 python scripts/bench_knn.py 2>&1 | tail -8 | tee /tmp/r4q/knn_ab.txt

@@ -7,8 +7,14 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/r4q
+echo $$ > /tmp/r4g.pid  # part H serializes behind this (ADVICE r4)
 
-while kill -0 "$(cat /tmp/r4f.pid 2>/dev/null)" 2>/dev/null; do sleep 60; done
+# fail loudly if part F's pid file is missing instead of sailing through
+if [ ! -f /tmp/r4f.pid ]; then
+  echo "expected /tmp/r4f.pid (part F running) — refusing to start" >&2
+  exit 1
+fi
+while kill -0 "$(cat /tmp/r4f.pid)" 2>/dev/null; do sleep 60; done
 
 echo "=== G1. multi-scene step profile $(date) ==="
 rm -rf /tmp/r4q/ms_profile

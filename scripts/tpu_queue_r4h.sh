@@ -17,7 +17,14 @@ cd "$(dirname "$0")/.."
 mkdir -p /tmp/r4q
 echo $$ > /tmp/r4h.pid
 
-while kill -0 "$(cat /tmp/r4f.pid 2>/dev/null)" 2>/dev/null; do sleep 60; done
+# serialize behind part G (not F): G itself waits on F, and the relay
+# tolerates only one chip consumer.  Fail loudly if the awaited pid file
+# is missing instead of sailing through (ADVICE r4).
+if [ ! -f /tmp/r4g.pid ]; then
+  echo "expected /tmp/r4g.pid (part G running) — refusing to start" >&2
+  exit 1
+fi
+while kill -0 "$(cat /tmp/r4g.pid)" 2>/dev/null; do sleep 60; done
 
 echo "=== H1. kNN A/B incl. approx_min_k $(date) ==="
 timeout 2400 python scripts/bench_knn.py --sizes 5000 25000 50000 100000 \
