@@ -89,7 +89,9 @@ def build_knn(
 ) -> KnnCache:
     """Neighbor cache for the surface losses.
 
-    Dispatch: brute MXU at every size by default.  The uniform-grid kNN
+    Dispatch: brute MXU distance matmul at every size; neighbor SELECTION
+    switches from exact top_k to `lax.approx_min_k` above 20k points (see
+    the in-line rationale below).  The uniform-grid kNN
     (the FRNN path the reference switches to above ~20k points, SurfaceLoss
     `frnn.frnn_grid_points`, losses.py:157-180) is a measured 13-25×
     REGRESSION on TPU (bench_knn: 25k 43 ms brute / 1080 ms grid, 100k
@@ -113,10 +115,20 @@ def build_knn(
             grid_res=grid_res, bucket_size=64,
         )
     else:
-        # DSS_KNN_APPROX=1 selects neighbors with approx_min_k instead of
-        # the sort-lowered top_k (the 3.5 s/step multi-scene cost on TPU;
-        # exact on CPU).  Opt-in until the chip A/B (speed + quality) lands.
-        approx = bool(int(os.environ.get("DSS_KNN_APPROX", "0")))
+        # approx_min_k (the TPU PartialReduce custom call) replaces the
+        # sort-lowered top_k by DEFAULT above 20k points — measured on
+        # silicon (bench_knn, post permutation fix): 3-4.5× per call
+        # (25k: 14.5 ms vs 43.5 brute; 100k: 121.7 vs 552.9) at recall
+        # 0.987-0.988, and the 4×25k multi-scene step drops 4.0 →
+        # 0.87 s/it with per-scene chamfer identical at 60 iters
+        # (BENCHMARKS.md round 5).  The ≤20k regime (flagship is 5k)
+        # keeps exact brute top_k.  DSS_KNN_APPROX=1/0 forces the
+        # selection on/off at every size (exact on CPU either way —
+        # approx_min_k falls back to exact there).
+        approx_env = os.environ.get("DSS_KNN_APPROX")
+        approx = bool(int(approx_env)) if approx_env is not None else (
+            p > 20000
+        )
         dists, idx = knn_points(
             points, points, mask, mask, k=k, exclude_self=True,
             approx=approx,
