@@ -256,6 +256,19 @@ def main(argv=None):
     val_idx = np.arange(min(batch_size, len(dataset)))
     val_img, val_mask, val_cams, val_lights = dataset.get_batch(val_idx)
     val_img, val_mask = jnp.asarray(val_img), jnp.asarray(val_mask)
+    # Dataset background color (per channel, from pixels outside the GT
+    # mask): mesh-generated datasets are white-background (the pytorch3d
+    # HardFlatShader blend convention the reference data-gen inherits),
+    # cloud-generated ones black.  The training losses never see it (the
+    # rgb loss is masked to the silhouette intersection, reference
+    # trainer.py:352), but the PSNR eval compares whole images — composite
+    # the prediction over this color so the metric measures the object,
+    # not the background convention.  Black-background datasets get an
+    # exact no-op (bg = 0).
+    _out = 1.0 - val_mask[..., None]
+    val_bg = jnp.sum(val_img * _out, axis=(0, 1, 2)) / jnp.maximum(
+        jnp.sum(_out, axis=(0, 1, 2)), 1.0
+    )
     if settings.tiled_io:
         # Predictions come back tiled; IoU/PSNR are elementwise sums, so
         # comparing in tile order is exact — tile the val targets once.
@@ -276,7 +289,16 @@ def main(argv=None):
         out = {}
         rgb_pred, mask_pred = eval_render(state.params, state.filters)
         out["iou_loss"] = float(iou_loss(mask_pred, val_mask))
-        out["psnr"] = float(psnr(rgb_pred, val_img))
+        # composite over the dataset background (tiled layout: rgb
+        # (V, n_tiles, 3, tt), mask (V, n_tiles, tt); untiled: (V, S, S, 3)
+        # and (V, S, S))
+        if settings.tiled_io:
+            rgb_comp = rgb_pred + (1.0 - mask_pred[:, :, None, :]) * val_bg[
+                None, None, :, None
+            ]
+        else:
+            rgb_comp = rgb_pred + (1.0 - mask_pred[..., None]) * val_bg
+        out["psnr"] = float(psnr(rgb_comp, val_img))
         if gt_points is None:
             return out
         cd, cn = chamfer_distance(

@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--data", default="/tmp/yoga6_data")
     ap.add_argument("--views", type=int, nargs="+", default=[0, 5, 11, 17])
     ap.add_argument("--recipe", default=None, help="recipe string for the report")
+    ap.add_argument("--json-name", default="yoga6_metrics.json",
+                    help="output json filename (and the image grid name "
+                         "derives from its stem)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -75,7 +78,12 @@ def main():
         rows.append(np.clip(rgba[i, ..., :3], 0, 1) * a)
     os.makedirs(args.out, exist_ok=True)
     save_image_grid(
-        np.stack(rows), os.path.join(args.out, "yoga6_gt_vs_pred.png"), ncols=2
+        np.stack(rows),
+        os.path.join(
+            args.out,
+            args.json_name.replace("_metrics.json", "") + "_gt_vs_pred.png",
+        ),
+        ncols=2,
     )
 
     gt = jnp.asarray(ds.points)
@@ -97,13 +105,23 @@ def main():
         )
         report["chamfer_normal"] = float(cn)
     pred_mask_img = rgba[..., 3]
+    # Composite the prediction over the dataset's background color (mean GT
+    # color outside the mask): mesh-generated datasets are white-background,
+    # cloud-generated black — exact no-op for black (bg = 0).  The training
+    # loss never sees the background (masked rgb L1), but whole-image PSNR
+    # would otherwise measure the background convention, not the object.
+    outside = 1.0 - msk[..., None]
+    bg = (img * outside).sum(axis=(0, 1, 2)) / np.maximum(
+        outside.sum(axis=(0, 1, 2)), 1.0
+    )
+    pred_rgb = rgba[..., :3] * rgba[..., 3:4] + (1.0 - rgba[..., 3:4]) * bg
     report["psnr_%dviews" % len(args.views)] = float(
-        psnr(jnp.asarray(rgba[..., :3] * rgba[..., 3:4]), jnp.asarray(img))
+        psnr(jnp.asarray(pred_rgb), jnp.asarray(img))
     )
     report["iou_loss_%dviews" % len(args.views)] = float(
         iou_loss(jnp.asarray(pred_mask_img), jnp.asarray(msk))
     )
-    with open(os.path.join(args.out, "yoga6_metrics.json"), "w") as f:
+    with open(os.path.join(args.out, args.json_name), "w") as f:
         json.dump(report, f, indent=1)
     print(report)
 
